@@ -1,0 +1,94 @@
+"""Fold split and batch iteration.
+
+Parity with the reference's split/sampler machinery
+(common/data.py:113-212): the train/valid split of a fold index list is a
+seeded shuffle followed by a ``floor(valid_size * n)`` cut (valid first),
+and per-epoch iteration visits a fresh random permutation of the subset.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from stroke_prediction_tpu.data.dataset import StrokeDataset3D
+
+
+def fold_split(n_cases: int, indices: Sequence[int], valid_size: float,
+               seed: Optional[int], shuffle: bool = True
+               ) -> Tuple[List[int], List[int]]:
+    """reference: common/data.py:113-147 (split_data_loader3D core logic)."""
+    assert 0 <= valid_size <= 1, "[!] valid_size should be in the range [0, 1]."
+    items = sorted(set(range(n_cases)).intersection(set(indices)))
+    split = int(np.floor(valid_size * len(items)))
+    if shuffle:
+        rs = np.random.RandomState(seed)
+        rs.shuffle(items)
+    return list(items[split:]), list(items[:split])   # train, valid
+
+
+class BatchLoader:
+    """Iterates a dataset subset in shuffled batches (host side).
+
+    Equivalent of DataLoader + SubsetRandomSampler
+    (common/data.py:138-145); augmentation is NOT done here — batches are
+    raw cached volumes, augmented on device in the jitted train step.
+    """
+
+    def __init__(self, dataset: StrokeDataset3D, indices: Sequence[int],
+                 batch_size: int, shuffle: bool = True,
+                 seed: Optional[int] = None, drop_last: bool = False):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rs = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = list(self.indices)
+        if self.shuffle:
+            self._rs.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start:start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield self.dataset.stack(chunk)
+
+
+def _make_loaders(dataset: StrokeDataset3D, fold_indices: Sequence[int],
+                  ratio: float, seed: int, batchsize: int, split: bool):
+    train_idx, valid_idx = fold_split(len(dataset), fold_indices,
+                                      ratio if split else 0.0, seed)
+    train = BatchLoader(dataset, train_idx, batchsize, shuffle=True,
+                        seed=seed)
+    valid = (BatchLoader(dataset, valid_idx, batchsize, shuffle=True,
+                         seed=seed) if split and valid_idx else None)
+    return train, valid
+
+
+def get_stroke_shape_training_data(dataset, fold_indices, ratio, seed=4,
+                                   batchsize=2, split=True):
+    """reference: common/data.py:175-182."""
+    return _make_loaders(dataset, fold_indices, ratio, seed, batchsize, split)
+
+
+def get_stroke_prediction_training_data(dataset, fold_indices, ratio, seed=4,
+                                        batchsize=2, split=True):
+    """reference: common/data.py:185-192."""
+    return _make_loaders(dataset, fold_indices, ratio, seed, batchsize, split)
+
+
+def get_testdata(dataset, indices, seed=None, shuffle=True) -> BatchLoader:
+    """Batch-size-1 loader for per-case test metrics
+    (reference: common/data.py:195-212)."""
+    items = sorted(set(range(len(dataset))).intersection(set(indices)))
+    return BatchLoader(dataset, items, batch_size=1, shuffle=shuffle,
+                       seed=seed)

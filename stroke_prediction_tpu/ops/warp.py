@@ -1,0 +1,140 @@
+"""Gaussian smoothing, trilinear warping, and elastic deformation.
+
+TPU-native equivalent of the reference's Simard-2003 elastic deformation
+(common/data.py:313-351): three Gaussian-filtered uniform displacement
+fields (alpha=100, sigma=4, z-displacement scaled x0.22) applied with a
+trilinear ``map_coordinates`` warp.  The reference runs this per-channel on
+the host with scipy (the dominant CPU cost of its training loop, SURVEY.md
+§3.1); here it is a fused on-device kernel driven by ``jax.random`` keys, so
+augmentation is deterministic from ``--seed`` (unlike the reference's
+wall-clock seeding, common/data.py:327) and costs no host time.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
+    """scipy-compatible 1-D Gaussian kernel (radius = int(truncate*sigma+0.5))."""
+    radius = int(truncate * float(sigma) + 0.5)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _conv1d_along_axis(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Correlate one axis with a 1-D kernel, zero ('constant') boundary."""
+    radius = kernel.shape[0] // 2
+    moved = jnp.moveaxis(x, axis, -1)
+    batch_shape = moved.shape[:-1]
+    n = moved.shape[-1]
+    flat = moved.reshape((-1, n, 1))                      # (N, W, C=1)
+    rhs = kernel[::-1].astype(x.dtype).reshape((kernel.shape[0], 1, 1))  # (W, I, O)
+    out = lax.conv_general_dilated(
+        flat, rhs, window_strides=(1,), padding=[(radius, radius)],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return jnp.moveaxis(out.reshape(batch_shape + (n,)), -1, axis)
+
+
+def gaussian_filter3d(x: jnp.ndarray, sigma: float, truncate: float = 4.0,
+                      axes: Optional[Tuple[int, int, int]] = None) -> jnp.ndarray:
+    """Separable 3-D Gaussian blur, 'constant' (zero) boundary mode —
+    device equivalent of ``scipy.ndimage.gaussian_filter(mode='constant')``
+    (reference: common/data.py:332-334)."""
+    if axes is None:
+        axes = (x.ndim - 3, x.ndim - 2, x.ndim - 1)
+    k = gaussian_kernel1d(sigma, truncate)
+    for ax in axes:
+        x = _conv1d_along_axis(x, k, ax)
+    return x
+
+
+def map_coordinates_linear(volume: jnp.ndarray, coords: jnp.ndarray,
+                           cval: float = 0.0) -> jnp.ndarray:
+    """Trilinear sampling of a 3-D ``volume`` at ``coords`` (3, ...) —
+    device equivalent of ``scipy.ndimage.map_coordinates(order=1,
+    mode='constant')`` (reference: common/data.py:339).
+
+    ``coords[k]`` holds the axis-k sample positions; out-of-range samples
+    read ``cval``.
+    """
+    d, h, w = volume.shape
+    cz, cy, cx = coords[0], coords[1], coords[2]
+
+    z0 = jnp.floor(cz); y0 = jnp.floor(cy); x0 = jnp.floor(cx)
+    wz = (cz - z0).astype(volume.dtype)
+    wy = (cy - y0).astype(volume.dtype)
+    wx = (cx - x0).astype(volume.dtype)
+
+    def gather(zi, yi, xi):
+        valid = ((zi >= 0) & (zi <= d - 1) & (yi >= 0) & (yi <= h - 1)
+                 & (xi >= 0) & (xi <= w - 1))
+        zc = jnp.clip(zi, 0, d - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = volume[zc, yc, xc]
+        return jnp.where(valid, vals, jnp.asarray(cval, volume.dtype))
+
+    out = (gather(z0, y0, x0) * (1 - wz) * (1 - wy) * (1 - wx)
+           + gather(z0, y0, x0 + 1) * (1 - wz) * (1 - wy) * wx
+           + gather(z0, y0 + 1, x0) * (1 - wz) * wy * (1 - wx)
+           + gather(z0, y0 + 1, x0 + 1) * (1 - wz) * wy * wx
+           + gather(z0 + 1, y0, x0) * wz * (1 - wy) * (1 - wx)
+           + gather(z0 + 1, y0, x0 + 1) * wz * (1 - wy) * wx
+           + gather(z0 + 1, y0 + 1, x0) * wz * wy * (1 - wx)
+           + gather(z0 + 1, y0 + 1, x0 + 1) * wz * wy * wx)
+    return out
+
+
+def elastic_fields(key: jax.Array, shape: Tuple[int, int, int],
+                   alpha: float = 100.0, sigma: float = 4.0,
+                   z_scale: float = 0.22,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """Random displacement fields ``(3, D, H, W)`` for elastic deformation.
+
+    Matches the reference's field statistics (common/data.py:332-334):
+    uniform[-1, 1] noise, Gaussian-blurred (sigma, constant mode), scaled by
+    alpha; the depth (z) displacement additionally scaled by ``z_scale``
+    (0.22 ~ 28/128 voxel-spacing correction).
+    """
+    noise = jax.random.uniform(key, (3,) + tuple(shape), dtype=dtype,
+                               minval=-1.0, maxval=1.0)
+    blurred = gaussian_filter3d(noise, sigma, axes=(1, 2, 3)) * alpha
+    scale = jnp.array([z_scale, 1.0, 1.0], dtype=dtype).reshape(3, 1, 1, 1)
+    return blurred * scale
+
+
+@partial(jax.jit, static_argnames=("alpha", "sigma", "z_scale", "apply_to_images"))
+def elastic_deform3d(key: jax.Array, labels: jnp.ndarray,
+                     images: Optional[jnp.ndarray] = None,
+                     alpha: float = 100.0, sigma: float = 4.0,
+                     z_scale: float = 0.22, apply_to_images: bool = False):
+    """Elastic-deform ``(D, H, W, C)`` label (and optionally image) volumes.
+
+    One displacement field is shared across all label channels (and image
+    channels when ``apply_to_images``), as in the reference's transform
+    (common/data.py:341-351, which reuses the first channel's
+    ``random_state``). Returns ``(labels, images)``.
+    """
+    d, h, w = labels.shape[:3]
+    disp = elastic_fields(key, (d, h, w), alpha, sigma, z_scale, labels.dtype)
+    base = jnp.stack(jnp.meshgrid(jnp.arange(d), jnp.arange(h), jnp.arange(w),
+                                  indexing="ij"), axis=0).astype(labels.dtype)
+    coords = base + disp
+
+    def warp_channels(vol):
+        return jax.vmap(lambda c: map_coordinates_linear(c, coords),
+                        in_axes=-1, out_axes=-1)(vol)
+
+    labels_out = warp_channels(labels)
+    images_out = images
+    if images is not None and apply_to_images:
+        images_out = warp_channels(images)
+    return labels_out, images_out

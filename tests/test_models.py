@@ -1,0 +1,136 @@
+"""Golden shape tests for the valid-conv shape algebra and model forward
+passes (SURVEY.md §7 'hard parts': patch 104x104x68 -> labels 64x64x28;
+encoder 28x128x128 -> latent 1x10x10)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stroke_prediction_tpu.core.dto import (
+    BRANCH_BOTH, BRANCH_GTRUTH, BRANCH_INPUTS, init_cae_dto)
+from stroke_prediction_tpu.models.cae3d import (
+    Cae3D, Dec3D, Enc3D, Enc3DStep, cae_latent_spatial)
+from stroke_prediction_tpu.models.unet3d import Unet3D, unet_output_spatial
+
+CHANNELS_UNET = (2, 4, 6, 8, 6, 4, 6, 2)       # tiny spec, same arity as CLI
+CHANNELS_CAE = (1, 2, 3, 4, 5, 6, 1)
+
+
+class TestShapeAlgebra:
+    def test_unet_golden_patch(self):
+        # reference patch config: 104x104x68 image -> 64x64x28 labels
+        assert unet_output_spatial((68, 104, 104)) == (28, 64, 64)
+
+    def test_unet_golden_fullvolume(self):
+        # padded full volume: 68x168x168 -> 28x128x128
+        assert unet_output_spatial((68, 168, 168)) == (28, 128, 128)
+
+    def test_cae_latent_golden(self):
+        # encoder 28x128x128 -> latent 1x10x10 (SURVEY.md §7)
+        assert cae_latent_spatial((28, 128, 128)) == (1, 10, 10)
+
+    def test_cae_latent_small(self):
+        assert cae_latent_spatial((28, 64, 64)) == (1, 2, 2)
+
+
+class TestUnet3D:
+    def test_forward_shapes(self):
+        model = Unet3D(channels=CHANNELS_UNET)
+        x = jnp.zeros((2, 44, 44, 44, 2))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        y = model.apply(variables, x, train=False)
+        d, h, w = unet_output_spatial((44, 44, 44))
+        assert y.shape == (2, d, h, w, 2)
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+    def test_train_mode_updates_batch_stats(self):
+        model = Unet3D(channels=CHANNELS_UNET)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 44, 44, 44, 2))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        y, mutated = model.apply(variables, x, train=True,
+                                 mutable=["batch_stats"])
+        assert "batch_stats" in mutated
+        # running stats moved away from init zeros
+        leaves = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def _make_cae(step=False):
+    enc_cls = Enc3DStep if step else Enc3D
+    enc = enc_cls(channels=CHANNELS_CAE, n_ch_global=5, alpha=1.0)
+    dec = Dec3D(channels=CHANNELS_CAE, n_ch_global=5, alpha=1.0)
+    return Cae3D(enc=enc, dec=dec)
+
+
+def _make_dto(b=2, spatial=(28, 64, 64), with_time=True, with_inputs=False):
+    d, h, w = spatial
+    k = jax.random.PRNGKey(0)
+    vol = lambda: jax.random.uniform(k, (b, d, h, w, 1))
+    return init_cae_dto(
+        global_variables=jnp.ones((b, 5)),
+        time_to_treatment=jnp.full((b, 1), 0.3) if with_time else None,
+        type_core=jnp.zeros((b, 1)), type_penumbra=jnp.ones((b, 1)),
+        inputs_core=vol() if with_inputs else None,
+        inputs_penu=vol() if with_inputs else None,
+        gtruth_core=vol(), gtruth_penumbra=vol(), gtruth_lesion=vol())
+
+
+class TestCae3D:
+    def test_gtruth_branch_shapes(self):
+        cae = _make_cae()
+        dto = _make_dto()
+        variables = cae.init(jax.random.PRNGKey(0), dto, BRANCH_GTRUTH,
+                             False)
+        out = cae.apply(variables, dto, BRANCH_GTRUTH, False)
+        lat = out.latents.gtruth
+        ld, lh, lw = cae_latent_spatial((28, 64, 64))
+        n_fc = CHANNELS_CAE[5]
+        for z in (lat.core, lat.penu, lat.lesion, lat.interpolation):
+            assert z.shape == (2, ld, lh, lw, n_fc)
+        rec = out.reconstructions.gtruth
+        for r in (rec.core, rec.penu, rec.lesion, rec.interpolation):
+            assert r.shape == (2, 28, 64, 64, 1)
+            assert float(r.min()) >= 0.0 and float(r.max()) <= 1.0
+        # inputs branch untouched
+        assert out.latents.inputs.core is None
+        assert out.reconstructions.inputs.core is None
+
+    def test_latent_interpolation_endpoints(self):
+        cae = _make_cae()
+        dto0 = _make_dto()
+        dto0 = dto0.replace(given_variables=dto0.given_variables.replace(
+            time_to_treatment=jnp.zeros((2, 1))))
+        variables = cae.init(jax.random.PRNGKey(0), dto0, BRANCH_GTRUTH,
+                             False)
+        out0 = cae.apply(variables, dto0, BRANCH_GTRUTH, False)
+        np.testing.assert_allclose(np.asarray(out0.latents.gtruth.interpolation),
+                                   np.asarray(out0.latents.gtruth.core),
+                                   rtol=1e-5)
+        dto1 = dto0.replace(given_variables=dto0.given_variables.replace(
+            time_to_treatment=jnp.ones((2, 1))))
+        out1 = cae.apply(variables, dto1, BRANCH_GTRUTH, False)
+        np.testing.assert_allclose(np.asarray(out1.latents.gtruth.interpolation),
+                                   np.asarray(out1.latents.gtruth.penu),
+                                   rtol=1e-5)
+
+    def test_inputs_branch(self):
+        cae = _make_cae()
+        dto = _make_dto(with_inputs=True)
+        variables = cae.init(jax.random.PRNGKey(0), dto, BRANCH_BOTH, False)
+        out = cae.apply(variables, dto, BRANCH_BOTH, False)
+        assert out.reconstructions.inputs.interpolation.shape == (2, 28, 64, 64, 1)
+        assert out.reconstructions.inputs.lesion is None
+        assert out.reconstructions.gtruth.lesion is not None
+
+    def test_step_head_when_no_time(self):
+        cae = _make_cae(step=True)
+        dto = _make_dto(with_time=False)
+        variables = cae.init(jax.random.PRNGKey(0), dto, BRANCH_GTRUTH,
+                             False)
+        out = cae.apply(variables, dto, BRANCH_GTRUTH, False)
+        step = out.given_variables.time_to_treatment
+        assert step is not None and step.shape == (2, 1)
+        # near-0.5 by the crucial init (sigmoid of ~N(0.5, small))
+        assert 0.3 < float(step.mean()) < 0.9
+        assert out.reconstructions.gtruth.interpolation is not None
