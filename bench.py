@@ -1,0 +1,204 @@
+"""Benchmark: 3-D U-Net training throughput (volumes/sec/chip) on TPU
+versus the PyTorch-CPU reference equivalent.
+
+Metric (BASELINE.json): volumes/sec/chip on the 3-D U-Net training step at
+the reference config of record — channels (2, 16, 32, 64, 32, 16, 32, 2),
+batch 6, random patches 104x104x68 from padded 168x168x68 volumes, Dice
+loss, Adam.  Our step includes the on-device random-patch augmentation;
+the torch baseline includes only forward+backward+step (its host-side
+augmentation would make it slower still).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N}
+
+The torch-CPU baseline is measured once and cached in
+BASELINE_MEASURED.json (delete the file to re-measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BATCH = int(os.environ.get("BENCH_BATCH", "6"))
+PATCH = (104, 104, 68)          # W, H, D
+PAD = (20, 20, 20)
+VOL = (68, 168, 168)            # D, H, W padded full volume
+CHANNELS = (2, 16, 32, 64, 32, 16, 32, 2)
+COMPUTE_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+
+
+def measure_tpu(steps: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from stroke_prediction_tpu.data.augment import random_patch
+    from stroke_prediction_tpu.eval.metrics import batch_dice_loss
+    from stroke_prediction_tpu.models.unet3d import Unet3D
+    from stroke_prediction_tpu.train.learner import TrainState
+    from stroke_prediction_tpu.train.optim import make_optimizer
+
+    model = Unet3D(channels=CHANNELS,
+                   compute_dtype=jnp.dtype(COMPUTE_DTYPE))
+    tx = make_optimizer(1e-3, betas=(0.99, 0.999), weight_decay=1e-5)
+
+    d, h, w = VOL
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(BATCH, d, h, w, 2), jnp.float32)
+    labels = jnp.asarray(
+        (rng.rand(BATCH, d - 2 * PAD[2], h - 2 * PAD[1], w - 2 * PAD[0], 2)
+         > 0.7), jnp.float32)
+
+    pd, ph, pw = PATCH[2], PATCH[1], PATCH[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, pd, ph, pw, 2)), train=False)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def train_step(state, images, labels, key):
+        imgs, labs = random_patch(key, images, labels, PATCH, PAD)
+
+        def loss_fn(params):
+            seg, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, train=True, mutable=["batch_stats"])
+            loss = (batch_dice_loss(seg[..., 0:1], labs[..., 0:1])
+                    + batch_dice_loss(seg[..., 1:2], labs[..., 1:2])) / 2
+            return loss, mut
+
+        (loss, mut), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             batch_stats=mut["batch_stats"],
+                             step=state.step + 1), loss
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 2 * steps + 4)
+    # warmup / compile; the float() fetch forces real execution (the axon
+    # tunnel defers work past block_until_ready, so timings must be
+    # anchored on host materialization)
+    state, loss = train_step(state, images, labels, keys[0])
+    _ = float(loss)
+    state, loss = train_step(state, images, labels, keys[1])
+    _ = float(loss)
+
+    def timed(n, key_off):
+        s = state
+        t0 = time.perf_counter()
+        for i in range(n):
+            s, l = train_step(s, images, labels, keys[key_off + i])
+        _ = float(l)
+        return time.perf_counter() - t0
+
+    t1 = timed(1, 2)
+    tn = timed(steps + 1, 3)
+    dt = max(tn - t1, 1e-9) / steps
+    return BATCH / dt
+
+
+def measure_torch_cpu_baseline(steps: int = 1) -> float:
+    """Reference-equivalent PyTorch-CPU U-Net train step (same arch,
+    batch 1 scaled: CPU time is linear in batch)."""
+    import torch
+    import torch.nn as nn
+
+    cin, b1, b2, b3, b4, b5, bc, ncls = CHANNELS
+
+    def block(ci, co):
+        return nn.Sequential(
+            nn.BatchNorm3d(ci), nn.Conv3d(ci, co, 3), nn.LeakyReLU(0.01, True),
+            nn.BatchNorm3d(co), nn.Conv3d(co, co, 3), nn.LeakyReLU(0.01, True))
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.b1 = block(cin, b1)
+            self.b2 = block(b1, b2)
+            self.b3 = block(b2, b3)
+            self.b4 = block(b3 + b2, b4)
+            self.b5 = block(b4 + b1, b5)
+            self.pool = nn.MaxPool3d(2, 2)
+            self.up = nn.Upsample(scale_factor=2, mode="trilinear")
+            self.head = nn.Sequential(nn.Conv3d(b5, bc, 1),
+                                      nn.LeakyReLU(0.01, True),
+                                      nn.Conv3d(bc, ncls, 1), nn.Sigmoid())
+
+        def forward(self, x):
+            def crop_to(t, like):
+                ds = [(t.shape[i] - like.shape[i]) // 2 for i in (2, 3, 4)]
+                return t[:, :, ds[0]:ds[0] + like.shape[2],
+                         ds[1]:ds[1] + like.shape[3],
+                         ds[2]:ds[2] + like.shape[4]]
+
+            r1 = self.b1(x)
+            r2 = self.b2(self.pool(r1))
+            r3 = self.b3(self.pool(r2))
+            u = self.up(r3)
+            r4 = self.b4(torch.cat([u, crop_to(r2, u)], 1))
+            u = self.up(r4)
+            r5 = self.b5(torch.cat([u, crop_to(r1, u)], 1))
+            return self.head(r5)
+
+    torch.manual_seed(0)
+    net = Net()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3, weight_decay=1e-5,
+                           betas=(0.99, 0.999))
+    bs = 1
+    x = torch.rand(bs, 2, PATCH[2], PATCH[1], PATCH[0])
+    y = (torch.rand(bs, 2, PATCH[2] - 2 * PAD[2], PATCH[1] - 2 * PAD[1],
+                    PATCH[0] - 2 * PAD[0]) > 0.7).float()
+
+    def dice_loss(o, t):
+        inter = (o * t).sum()
+        return 1 - (2 * inter + 1e-7) / ((o * o).sum() + (t * t).sum() + 1e-7)
+
+    def step():
+        opt.zero_grad()
+        out = net(x)
+        loss = (dice_loss(out[:, 0], y[:, 0])
+                + dice_loss(out[:, 1], y[:, 1])) / 2
+        loss.backward()
+        opt.step()
+
+    step()                       # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = (time.perf_counter() - t0) / steps
+    return bs / dt               # volumes/sec on CPU
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["torch_cpu_volumes_per_sec"]
+    v = measure_torch_cpu_baseline()
+    with open(BASELINE_FILE, "w") as f:
+        json.dump({"torch_cpu_volumes_per_sec": v,
+                   "config": {"channels": list(CHANNELS), "patch": PATCH,
+                              "batch_scaling": "measured bs=1, linear"}}, f)
+    return v
+
+
+def main():
+    tpu = measure_tpu()
+    base = get_baseline()
+    print(json.dumps({
+        "metric": "unet3d_train_volumes_per_sec_per_chip",
+        "value": round(tpu, 3),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(tpu / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Shared CLI wiring: dataset construction and device mesh from args."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from stroke_prediction_tpu.data.dataset import (
+    NiftiCaseProvider, StrokeDataset3D, SyntheticCaseProvider)
+
+# The reference's institute-share defaults (common/data.py:32-33); only
+# used when --datadir / --clinicalcsv are given or reachable.
+DEFAULT_ROOT = "/share/data_zoe1/lucas/Linda_Segmentations"
+DEFAULT_CSV = "/share/data_zoe1/lucas/Linda_Segmentations/clinical_cleaned.csv"
+
+
+def make_provider(args):
+    import os
+    if args.synthetic or (args.datadir is None
+                          and not os.path.isdir(DEFAULT_ROOT)):
+        return SyntheticCaseProvider(
+            n_cases=29, shape_xyz=(args.xyoriginal, args.xyoriginal,
+                                   args.zsize), seed=args.seed)
+    root = args.datadir or DEFAULT_ROOT
+    csv = args.clinicalcsv or DEFAULT_CSV
+    return NiftiCaseProvider(root, csv)
+
+
+def make_dataset(args, modalities: Sequence[str], labels: Sequence[str],
+                 flip_split_id: Optional[float] = None,
+                 pad: Optional[Tuple[int, int, int]] = None,
+                 provider=None) -> StrokeDataset3D:
+    if provider is None:
+        provider = make_provider(args)
+    resample = args.xyresample if args.xyresample != 1 else None
+    return StrokeDataset3D(provider, modalities, labels, resample=resample,
+                           flip_split_id=flip_split_id, pad=pad)
+
+
+def make_mesh(args):
+    if getattr(args, "ndevices", 1) <= 1:
+        return None
+    from stroke_prediction_tpu.parallel.mesh import make_data_mesh
+    return make_data_mesh(args.ndevices)

@@ -75,20 +75,19 @@ class NiftiCaseProvider:
         return np.array([float(v) for v in self._clinical[index][1:]],
                         dtype=np.float32)
 
+    def _path(self, index: int, suffix: str) -> str:
+        cid = self.case_id(index)
+        return os.path.join(self._root, str(cid),
+                            f"{self.FN_PREFIX}{cid}{suffix}.nii.gz")
+
     def volume(self, index: int, suffix: str) -> np.ndarray:
         """Returns (X, Y, Z) float32."""
-        import nibabel as nib
-        cid = self.case_id(index)
-        fn = os.path.join(self._root, str(cid),
-                          f"{self.FN_PREFIX}{cid}{suffix}.nii.gz")
-        return np.asarray(nib.load(fn).get_fdata(), dtype=np.float32)
+        from stroke_prediction_tpu.utils.nifti import load_volume
+        return load_volume(self._path(index, suffix))
 
     def affine(self, index: int, suffix: str):
-        import nibabel as nib
-        cid = self.case_id(index)
-        fn = os.path.join(self._root, str(cid),
-                          f"{self.FN_PREFIX}{cid}{suffix}.nii.gz")
-        return nib.load(fn).affine
+        from stroke_prediction_tpu.utils.nifti import load_affine
+        return load_affine(self._path(index, suffix))
 
 
 class SyntheticCaseProvider:
@@ -103,10 +102,12 @@ class SyntheticCaseProvider:
     N_GLOBALS = 5
 
     def __init__(self, n_cases: int = 29, shape_xyz: Tuple[int, int, int] = (256, 256, 28),
-                 seed: int = 4):
+                 seed: int = 4,
+                 penu_radius_frac: Tuple[float, float] = (0.12, 0.2)):
         self._n = n_cases
         self._shape = tuple(shape_xyz)
         self._seed = seed
+        self._penu_frac = penu_radius_frac
         self._cache: Dict[int, Dict[str, np.ndarray]] = {}
 
     def __len__(self) -> int:
@@ -134,8 +135,9 @@ class SyntheticCaseProvider:
         center = np.array([rng.uniform(0.35, 0.65) * x,
                            rng.uniform(0.35, 0.65) * y,
                            rng.uniform(0.4, 0.6) * z])
-        r_penu = np.array([rng.uniform(0.12, 0.2) * x,
-                           rng.uniform(0.12, 0.2) * y,
+        lo, hi = self._penu_frac
+        r_penu = np.array([rng.uniform(lo, hi) * x,
+                           rng.uniform(lo, hi) * y,
                            rng.uniform(0.25, 0.45) * z])
         frac_core = rng.uniform(0.3, 0.6)
 

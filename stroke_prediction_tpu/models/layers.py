@@ -59,17 +59,28 @@ class Conv3d(nn.Module):
             pad = [(int(p), int(p)) for p in pad]
         in_ch = x.shape[-1]
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
+        strides = tuple(self.strides)
+        # Strided convs are lowered as stride-1 conv + subsample slice:
+        # mathematically identical, and it avoids the input-dilated conv
+        # gradient path that crashes the axon remote XLA compiler
+        # (hlo_instruction.cc reshape-to-zero check) for the CAE encoder's
+        # stride-2 layers.  XLA folds the slice into the conv when it can.
         conv = nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
-            strides=self.strides,
+            strides=(1, 1, 1),
             padding=pad,
             dtype=self.compute_dtype,
             param_dtype=jnp.float32,
             kernel_init=torch_conv_kernel_init,
             bias_init=torch_conv_bias_init_for(kshape),
         )
-        return conv(x)
+        y = conv(x)
+        if strides != (1, 1, 1):
+            sl = [slice(None)] + [slice(None, None, s) for s in strides] \
+                + [slice(None)]
+            y = y[tuple(sl)]
+        return y
 
 
 class ConvTranspose3d(nn.Module):

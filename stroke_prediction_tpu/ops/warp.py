@@ -68,19 +68,24 @@ def map_coordinates_linear(volume: jnp.ndarray, coords: jnp.ndarray,
     d, h, w = volume.shape
     cz, cy, cx = coords[0], coords[1], coords[2]
 
-    z0 = jnp.floor(cz); y0 = jnp.floor(cy); x0 = jnp.floor(cx)
-    wz = (cz - z0).astype(volume.dtype)
-    wy = (cy - y0).astype(volume.dtype)
-    wx = (cx - x0).astype(volume.dtype)
+    # scipy 'constant' semantics: a sample point outside the input extent
+    # is assigned cval outright (no edge blending)
+    inside = ((cz >= 0) & (cz <= d - 1) & (cy >= 0) & (cy <= h - 1)
+              & (cx >= 0) & (cx <= w - 1))
+
+    czc = jnp.clip(cz, 0, d - 1)
+    cyc = jnp.clip(cy, 0, h - 1)
+    cxc = jnp.clip(cx, 0, w - 1)
+    z0 = jnp.clip(jnp.floor(czc), 0, d - 2)
+    y0 = jnp.clip(jnp.floor(cyc), 0, h - 2)
+    x0 = jnp.clip(jnp.floor(cxc), 0, w - 2)
+    wz = (czc - z0).astype(volume.dtype)
+    wy = (cyc - y0).astype(volume.dtype)
+    wx = (cxc - x0).astype(volume.dtype)
 
     def gather(zi, yi, xi):
-        valid = ((zi >= 0) & (zi <= d - 1) & (yi >= 0) & (yi <= h - 1)
-                 & (xi >= 0) & (xi <= w - 1))
-        zc = jnp.clip(zi, 0, d - 1).astype(jnp.int32)
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        vals = volume[zc, yc, xc]
-        return jnp.where(valid, vals, jnp.asarray(cval, volume.dtype))
+        return volume[zi.astype(jnp.int32), yi.astype(jnp.int32),
+                      xi.astype(jnp.int32)]
 
     out = (gather(z0, y0, x0) * (1 - wz) * (1 - wy) * (1 - wx)
            + gather(z0, y0, x0 + 1) * (1 - wz) * (1 - wy) * wx
@@ -90,7 +95,7 @@ def map_coordinates_linear(volume: jnp.ndarray, coords: jnp.ndarray,
            + gather(z0 + 1, y0, x0 + 1) * wz * (1 - wy) * wx
            + gather(z0 + 1, y0 + 1, x0) * wz * wy * (1 - wx)
            + gather(z0 + 1, y0 + 1, x0 + 1) * wz * wy * wx)
-    return out
+    return jnp.where(inside, out, jnp.asarray(cval, volume.dtype))
 
 
 def elastic_fields(key: jax.Array, shape: Tuple[int, int, int],

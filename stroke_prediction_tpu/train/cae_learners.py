@@ -49,19 +49,26 @@ class CaeReconstructionLearner(Learner):
                  optimizer, lr_schedule, n_epochs,
                  normalization_hours_penumbra: float = 10,
                  base_betas: Tuple[float, float] = (0.9, 0.999),
-                 label_weights=(1.0,), elastic: bool = True, **kw):
+                 label_weights=(1.0,), elastic: bool = True,
+                 inputs_from_images: bool = False, **kw):
         self._norm_hours = normalization_hours_penumbra
         self._base_b1, self._base_b2 = base_betas
         self._label_weights = tuple(label_weights)
         self._elastic = elastic
+        self._inputs_from_images = inputs_from_images
         super().__init__(dataloader_training, dataloader_validation,
                          cae_model, optimizer, lr_schedule, n_epochs, **kw)
 
     def model_config(self) -> dict:
-        return {"kind": "cae3d",
-                "channels": list(self._model.enc.channels),
-                "n_ch_global": self._model.enc.n_ch_global,
-                "step": self.LEARN_STEP}
+        from stroke_prediction_tpu.models.cae3d import Enc3DCtp
+        cfg = {"kind": "cae3d",
+               "channels": list(self._model.enc.channels),
+               "n_ch_global": self._model.enc.n_ch_global,
+               "step": self.LEARN_STEP}
+        if isinstance(self._model.enc, Enc3DCtp):
+            cfg["kind"] = "cae3d_ctp"
+            cfg["padding"] = list(self._model.enc.padding)
+        return cfg
 
     def loss_factor(self, epoch: int) -> float:
         """Curriculum ramp (reference: CaeReconstructionLearner.py:53)."""
@@ -116,23 +123,26 @@ class CaeReconstructionLearner(Learner):
         return cae_dto_from_batch(
             batch.get(KEY_IMAGES), batch[KEY_LABELS], batch[KEY_GLOBAL],
             step=step, normalization_hours_penumbra=self._norm_hours,
-            learn_step=self.LEARN_STEP)
+            learn_step=self.LEARN_STEP,
+            inputs_from_images=self._inputs_from_images)
 
     def _init_state(self, dto_like):
         variables = self._model.init(self._next_key(), dto_like,
                                      BRANCH_GTRUTH, False)
         params = variables["params"]
+        tx = self._resolve_tx(params)
         self._state = TrainState(
             params=params, batch_stats=variables.get("batch_stats", {}),
-            opt_state=self._tx.init(params), step=jnp.zeros((), jnp.int32))
+            opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
     def _build(self):
-        model, tx = self._model, self._tx
+        model = self._model
         ds = self._dataloader_training.dataset
         b0 = ds.stack(self._dataloader_training.indices[:2])
         dev0 = {k: (jnp.asarray(v) if v is not None else None)
                 for k, v in b0.items() if k != "case_id"}
         self._init_state(self._make_dto(dev0))
+        tx = self._tx
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, key, factor):
@@ -369,7 +379,6 @@ class CaePredictionLearner(CaeReconstructionLearner):
             enc_mutable=["batch_stats"] if train else False)
 
     def _build(self):
-        tx = self._tx
         ds = self._dataloader_training.dataset
         b0 = ds.stack(self._dataloader_training.indices[:2])
         dev0 = {k: (jnp.asarray(v) if v is not None else None)
@@ -378,6 +387,7 @@ class CaePredictionLearner(CaeReconstructionLearner):
         enc_vars = self._enc_model.init(self._next_key(), dto0,
                                         BRANCH_INPUTS, False)
         params = enc_vars["params"]
+        tx = self._resolve_tx(params)
         self._state = TrainState(
             params=params, batch_stats=enc_vars.get("batch_stats", {}),
             opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))

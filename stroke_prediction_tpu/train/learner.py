@@ -57,7 +57,7 @@ class Learner:
                  path_previous_base: Optional[str] = None,
                  path_outputs_base: str = "/tmp/stroke-prediction",
                  seed: int = 4, metrics_with_distances: bool = True,
-                 mesh=None):
+                 mesh=None, log_throughput: bool = False):
         assert dataloader_training.batch_size > 1, \
             "For normalization layers batch_size > 1 is required."
         self._dataloader_training = dataloader_training
@@ -71,6 +71,10 @@ class Learner:
         self._with_distances = metrics_with_distances
         self._mesh = mesh
         self._key = jax.random.PRNGKey(seed)
+        from stroke_prediction_tpu.utils.profiling import StepTimer
+        n_chips = mesh.size if mesh is not None else 1
+        self._timer = StepTimer(n_chips=n_chips)
+        self._log_throughput = log_throughput
 
         self._state: Optional[TrainState] = None
         self._train_step = None
@@ -106,6 +110,14 @@ class Learner:
 
     def _build(self):
         raise NotImplementedError
+
+    def _resolve_tx(self, params):
+        """The optimizer argument may be a ready GradientTransformation or
+        a ``params -> tx`` factory (used when a trainable mask depends on
+        the parameter structure, e.g. step-head-only training)."""
+        if not hasattr(self._tx, "init"):
+            self._tx = self._tx(params)
+        return self._tx
 
     def model_config(self) -> Dict[str, Any]:
         """Model hyperparameters stored in the checkpoint header."""
@@ -223,6 +235,7 @@ class Learner:
         for batch in loader:
             dev = self.batch_to_device(batch)
             if training:
+                self._timer.start()
                 self._state, metrics = self._train_step(
                     self._state, dev, self._next_key(), factor)
             else:
@@ -231,9 +244,19 @@ class Learner:
             # accumulate like MeasuresDto.add (inf propagates through +=),
             # divide like MeasuresDto.div (inf kept as-is) —
             # reference: MetricMeasuresDto.py:6-24
-            for k, v in metrics.items():
-                accum[k] = accum.get(k, 0.0) + float(v)
+            # (the float() fetches also anchor the step timing on host
+            # materialization, which the axon tunnel requires)
+            host = {k: float(v) for k, v in metrics.items()}
+            if training:
+                some = batch.get(KEY_LABELS)
+                n_vol = len(some) if some is not None \
+                    else len(batch[KEY_IMAGES])
+                self._timer.stop(n_vol)
+            for k, v in host.items():
+                accum[k] = accum.get(k, 0.0) + v
             count += 1
+        if training and self._log_throughput:
+            print(f"[throughput] {self._timer.summary()}", end=" ")
         return {k: (v / count if np.isfinite(v) else v)
                 for k, v in accum.items()}
 

@@ -23,16 +23,44 @@ import optax
 def make_optimizer(learning_rate: float = 1e-3,
                    betas: Tuple[float, float] = (0.9, 0.999),
                    weight_decay: float = 1e-5,
-                   eps: float = 1e-8) -> optax.GradientTransformation:
+                   eps: float = 1e-8,
+                   trainable_mask=None) -> optax.GradientTransformation:
+    """``trainable_mask``: optional bool pytree (matching params); frozen
+    leaves get zero updates — the functional equivalent of the reference's
+    ``requires_grad``-filtered param lists + ``freeze()``
+    (e.g. train_interpolationstep_after_reconstruction.py:22-34, where
+    only the step head of a grafted Enc3DStep trains)."""
+
     @optax.inject_hyperparams
     def tx(learning_rate, b1):
-        return optax.chain(
+        inner = optax.chain(
             optax.add_decayed_weights(weight_decay),   # torch-style L2
             optax.scale_by_adam(b1=b1, b2=betas[1], eps=eps),
             optax.scale_by_learning_rate(learning_rate),
         )
+        if trainable_mask is None:
+            return inner
+        import jax
+        frozen_mask = jax.tree_util.tree_map(lambda m: not m, trainable_mask)
+        return optax.chain(
+            optax.masked(inner, trainable_mask),
+            optax.masked(optax.set_to_zero(), frozen_mask),
+        )
 
     return tx(learning_rate=learning_rate, b1=betas[0])
+
+
+def trainable_mask_by_path(params, wanted_substrings):
+    """Bool pytree: True where any path component contains one of the
+    given substrings (e.g. ('reduce1', 'reduce2', 'step_head'))."""
+    import jax
+
+    def mark(path, _leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", p)))
+                 for p in path]
+        return any(s in n for n in names for s in wanted_substrings)
+
+    return jax.tree_util.tree_map_with_path(mark, params)
 
 
 def multistep_lr(base_lr: float, milestones: Sequence[int],

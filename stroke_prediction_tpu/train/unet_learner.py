@@ -84,7 +84,7 @@ class UnetSegmentationLearner(Learner):
         return out
 
     def _build(self):
-        model, tx = self._model, self._tx
+        model = self._model
         sample = self._dataloader_training.dataset.sample(
             self._dataloader_training.indices[0])
         d, h, w, c = sample[KEY_IMAGES].shape
@@ -97,6 +97,7 @@ class UnetSegmentationLearner(Learner):
                                      jnp.zeros(init_shape), train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        tx = self._resolve_tx(params)
         self._state = TrainState(params=params, batch_stats=batch_stats,
                                  opt_state=tx.init(params),
                                  step=jnp.zeros((), jnp.int32))

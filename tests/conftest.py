@@ -13,6 +13,19 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize force-registers the TPU tunnel backend via
+# jax.config.update("jax_platforms", "axon,cpu"), which overrides the env
+# var; undo it so tests run on the local 8-device CPU backend.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+assert jax.default_backend() == "cpu", (
+    "tests must run on the fake multi-device CPU backend, got "
+    + jax.default_backend())
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

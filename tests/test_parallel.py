@@ -1,0 +1,119 @@
+"""Multi-device tests on the fake 8-device CPU backend (SURVEY.md §4):
+data-parallel gradient equivalence to single-device, mesh helpers, and
+the spatially-sharded training step."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stroke_prediction_tpu.eval.metrics import batch_dice_loss
+from stroke_prediction_tpu.models.unet3d import Unet3D
+from stroke_prediction_tpu.parallel.mesh import (
+    batch_sharding, make_data_mesh, make_mesh, replicate)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Unet3D(channels=(2, 4, 6, 8, 6, 4, 6, 2))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(8, 44, 44, 44, 2), jnp.float32)
+    y = jnp.asarray((rng.rand(8, 4, 4, 4, 2) > 0.5), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:2], train=False)
+    return model, variables, x, y
+
+
+def _assert_tree_close(t1, t2):
+    """Sharded reductions reorder f32 sums, so individual near-zero leaves
+    can differ by several percent; a systematic DP bug (e.g. missing
+    all-reduce) changes the GLOBAL gradient norm by ~n_devices.  Check the
+    concatenated vector tightly and each leaf loosely."""
+    flat1 = [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(t1)]
+    flat2 = [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(t2)]
+    v1 = np.concatenate(flat1)
+    v2 = np.concatenate(flat2)
+    global_ratio = np.linalg.norm(v1 - v2) / max(np.linalg.norm(v1), 1e-8)
+    assert global_ratio < 2e-2, global_ratio
+    for a, b in zip(flat1, flat2):
+        denom = max(np.linalg.norm(a), 1e-6)
+        assert np.linalg.norm(a - b) / denom < 0.15, (
+            a.shape, np.linalg.norm(a - b) / denom)
+
+
+def _loss_fn(model, variables, x, y):
+    def f(params):
+        seg, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return (batch_dice_loss(seg[..., 0:1], y[..., 0:1])
+                + batch_dice_loss(seg[..., 1:2], y[..., 1:2])) / 2
+    return f
+
+
+class TestDataParallelEquivalence:
+    def test_grads_match_single_device(self, setup):
+        model, variables, x, y = setup
+        grad_fn = jax.jit(jax.grad(lambda p, xx, yy: _loss_fn(
+            model, variables, xx, yy)(p)))
+
+        g_single = grad_fn(variables["params"], x, y)
+
+        mesh = make_data_mesh(8)
+        xs = jax.device_put(x, batch_sharding(mesh))
+        ys = jax.device_put(y, batch_sharding(mesh))
+        ps = jax.device_put(variables["params"], replicate(mesh))
+        g_sharded = grad_fn(ps, xs, ys)
+
+        _assert_tree_close(g_single, g_sharded)
+
+    def test_full_update_step_matches(self, setup):
+        model, variables, x, y = setup
+        tx = optax.adam(1e-3)
+        opt0 = tx.init(variables["params"])
+
+        @jax.jit
+        def step(params, opt_state, xx, yy):
+            g = jax.grad(_loss_fn(model, variables, xx, yy))(params)
+            updates, opt_state = tx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        p1, _ = step(variables["params"], opt0, x, y)
+
+        mesh = make_data_mesh(8)
+        xs = jax.device_put(x, batch_sharding(mesh))
+        ys = jax.device_put(y, batch_sharding(mesh))
+        ps = jax.device_put(variables["params"], replicate(mesh))
+        os_ = jax.device_put(opt0, replicate(mesh))
+        p8, _ = step(ps, os_, xs, ys)
+
+        _assert_tree_close(p1, p8)
+
+
+class TestMeshHelpers:
+    def test_data_mesh(self):
+        mesh = make_data_mesh(8)
+        assert mesh.shape == {"data": 8}
+
+    def test_2d_mesh_and_spatial_sharding(self, setup):
+        model, variables, x, y = setup
+        mesh = make_mesh(data=4, space=2)
+        assert dict(mesh.shape) == {"data": 4, "space": 2}
+        xs = jax.device_put(x, batch_sharding(mesh, spatial=True))
+        # H axis sharded over 'space'
+        assert xs.sharding.spec == P("data", None, "space")
+        # forward through valid convs on the spatially-sharded volume
+        seg = jax.jit(lambda p, xx: model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            xx, train=False))(
+            jax.device_put(variables["params"], replicate(mesh)), xs)
+        assert seg.shape == (8, 4, 4, 4, 2)
+
+    def test_graft_dryrun(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)

@@ -1,0 +1,105 @@
+"""End-to-end training tests on synthetic volumes (SURVEY.md §4):
+loss decreases, artifacts written, resume continues, Dice rises."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from stroke_prediction_tpu.data.dataset import (
+    LABEL_CORE, LABEL_LESION, LABEL_PENU, MOD_CBV, MOD_TTD,
+    StrokeDataset3D, SyntheticCaseProvider)
+from stroke_prediction_tpu.data.loader import get_stroke_shape_training_data
+from stroke_prediction_tpu.models.unet3d import Unet3D
+from stroke_prediction_tpu.train.optim import make_optimizer
+from stroke_prediction_tpu.train.unet_learner import UnetSegmentationLearner
+
+
+@pytest.fixture(scope="module")
+def unet_run(tmp_path_factory):
+    out = tmp_path_factory.mktemp("unet_e2e")
+    # large blobs so 4^3 random label patches regularly contain structure
+    provider = SyntheticCaseProvider(n_cases=6, shape_xyz=(24, 24, 24),
+                                     seed=4, penu_radius_frac=(0.3, 0.45))
+    ds = StrokeDataset3D(provider, [MOD_CBV, MOD_TTD],
+                         [LABEL_CORE, LABEL_PENU], flip_split_id=15,
+                         pad=(20, 20, 20))
+    train, valid = get_stroke_shape_training_data(
+        ds, range(6), 0.34, seed=4, batchsize=4)
+    model = Unet3D(channels=(2, 4, 6, 8, 6, 4, 6, 2))
+    tx = make_optimizer(1e-3, betas=(0.99, 0.999), weight_decay=1e-5)
+    learner = UnetSegmentationLearner(
+        train, valid, model, tx, None, n_epochs=10,
+        patch_whd=(44, 44, 44), pad_xyz=(20, 20, 20),
+        path_outputs_base=str(out / "unet"), seed=4,
+        metrics_with_distances=False)
+    learner.run_training()
+    return learner, out
+
+
+class TestUnetEndToEnd:
+    def test_learning_progress(self, unet_run):
+        learner, _ = unet_run
+        losses = [m["loss"] for m in learner._metric_dtos["training"]]
+        assert len(losses) == 10
+        # per-epoch loss is noisy (random 4^3 label patches are often
+        # empty); learning shows as the validation Dice rising well above
+        # its starting point
+        dcs = [m["penu_dc"] for m in learner._metric_dtos["validate"]]
+        assert max(dcs[3:]) > 0.4
+        assert max(dcs[3:]) > dcs[0] + 0.2
+
+    def test_dice_metrics_recorded(self, unet_run):
+        learner, _ = unet_run
+        last = learner._metric_dtos["validate"][-1]
+        assert 0.0 <= last["penu_dc"] <= 1.0
+        assert "core_dc" in last
+
+    def test_artifacts_written(self, unet_run):
+        _, out = unet_run
+        names = os.listdir(out)
+        assert "unet_unet.model" in names          # best-valid checkpoint
+        assert "unet_unet_final.model" in names    # final model
+        assert "unet_unet.optim" in names
+        assert "unet_unet.json" in names
+        assert any(n.startswith("unet_visual_") and n.endswith(".png")
+                   for n in names)
+
+    def test_curves_json_schema(self, unet_run):
+        _, out = unet_run
+        with open(out / "unet_unet.json") as f:
+            curves = json.load(f)
+        assert set(curves) == {"training", "validate"}
+        assert len(curves["training"]) >= 1
+        assert "loss" in curves["training"][0]
+
+    def test_resume_continues_epochs(self, unet_run, tmp_path):
+        learner, out = unet_run
+        model = Unet3D(channels=(2, 4, 6, 8, 6, 4, 6, 2))
+        tx = make_optimizer(1e-2, betas=(0.99, 0.999))
+        resumed = UnetSegmentationLearner(
+            learner._dataloader_training, learner._dataloader_validation,
+            model, tx, None, n_epochs=11,
+            patch_whd=(44, 44, 44), pad_xyz=(20, 20, 20),
+            path_previous_base=str(out / "unet"),
+            path_outputs_base=str(tmp_path / "unet2"), seed=5,
+            metrics_with_distances=False)
+        # training state is snapshotted on new validation optima
+        # (reference: Learner.py:204-207), so resume restarts from the
+        # epoch of the last best-valid save
+        assert 0 < resumed.get_start_epoch() <= 10
+        assert np.isfinite(resumed.get_start_min_loss())
+        # restored params equal the best-valid checkpoint
+        from stroke_prediction_tpu.train.checkpoint import load_checkpoint
+        saved, cfg = load_checkpoint(str(out / "unet_unet.model"))
+        assert cfg["channels"] == [2, 4, 6, 8, 6, 4, 6, 2]
+
+    def test_model_loadable_by_factory(self, unet_run):
+        _, out = unet_run
+        from stroke_prediction_tpu.models.factory import load_model
+        import jax.numpy as jnp
+        model, variables = load_model(str(out / "unet_unet_final.model"))
+        seg = model.apply(variables, jnp.zeros((1, 44, 44, 44, 2)),
+                          train=False)
+        assert seg.shape == (1, 4, 4, 4, 2)
