@@ -18,6 +18,57 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 
 
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_matrix(n: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense (out_size, n) 1-D linear-interp matrix.
+
+    Per-axis resize is expressed as a small dense matmul instead of
+    gathers: the MXU eats it, the gradient is just the transposed matmul,
+    and XLA fuses the interleaved per-axis contractions — gathers/scatters
+    were the dominant cost of the U-Net's trilinear upsamples on TPU.
+    """
+    if align_corners:
+        coords = np.linspace(0.0, n - 1.0, out_size)
+    else:
+        coords = np.clip((np.arange(out_size) + 0.5) * (n / out_size) - 0.5,
+                         0.0, n - 1.0)
+    i0 = np.clip(np.floor(coords).astype(np.int64), 0, max(n - 2, 0))
+    w = coords - i0
+    m = np.zeros((out_size, n), np.float32)
+    rows = np.arange(out_size)
+    m[rows, i0] = 1.0 - w
+    if n > 1:
+        m[rows, i0 + 1] += w
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_matrix(n: int, out_size: int) -> np.ndarray:
+    # scipy order-0 zoom convention: index = round(i * (n-1)/(out-1))
+    if out_size == 1:
+        idx = np.array([0], np.int64)
+    else:
+        idx = np.round(np.linspace(0.0, n - 1.0, out_size)).astype(np.int64)
+    m = np.zeros((out_size, n), np.float32)
+    m[np.arange(out_size), idx] = 1.0
+    return m
+
+
+def _apply_axis_matrix(x: jnp.ndarray, m: np.ndarray, axis: int) -> jnp.ndarray:
+    w = jnp.asarray(m, x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+                    else jnp.float32)
+    xm = jnp.moveaxis(x, axis, -1)
+    out = jnp.einsum("...n,mn->...m", xm, w,
+                     preferred_element_type=w.dtype)
+    return jnp.moveaxis(out.astype(x.dtype) if out.dtype != x.dtype else out,
+                        -1, axis)
+
+
 def _axis_linear(x: jnp.ndarray, axis: int, out_size: int,
                  align_corners: bool = True) -> jnp.ndarray:
     """1-D linear resample of one axis (separable building block)."""
@@ -28,34 +79,15 @@ def _axis_linear(x: jnp.ndarray, axis: int, out_size: int,
         reps = [1] * x.ndim
         reps[axis] = out_size
         return jnp.tile(x, reps)
-    if align_corners:
-        coords = jnp.linspace(0.0, n - 1.0, out_size)
-    else:
-        scale = n / out_size
-        coords = (jnp.arange(out_size) + 0.5) * scale - 0.5
-        coords = jnp.clip(coords, 0.0, n - 1.0)
-    i0 = jnp.floor(coords).astype(jnp.int32)
-    i0 = jnp.clip(i0, 0, n - 2)
-    w = (coords - i0).astype(x.dtype)
-    x0 = jnp.take(x, i0, axis=axis)
-    x1 = jnp.take(x, i0 + 1, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    w = w.reshape(shape)
-    return x0 * (1 - w) + x1 * w
+    return _apply_axis_matrix(x, _linear_matrix(n, out_size, align_corners),
+                              axis)
 
 
 def _axis_nearest(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
     n = x.shape[axis]
     if out_size == n:
         return x
-    # scipy order-0 zoom convention: index = round(i * (n-1)/(out-1)) when
-    # out>1; this matches align-corners rounding.
-    if out_size == 1:
-        idx = jnp.array([0], dtype=jnp.int32)
-    else:
-        idx = jnp.round(jnp.linspace(0.0, n - 1.0, out_size)).astype(jnp.int32)
-    return jnp.take(x, idx, axis=axis)
+    return _apply_axis_matrix(x, _nearest_matrix(n, out_size), axis)
 
 
 def resize_linear(x: jnp.ndarray, out_sizes: Sequence[int],
