@@ -30,10 +30,12 @@ def train(args):
     cae_loaded, cae_vars = load_model(args.caepath)
 
     # fresh Enc3DStep; its conv trunk takes the CAE encoder's weights
+    import jax.numpy as jnp
+    cd = jnp.dtype(args.dtype)
     enc = Enc3DStep(channels=tuple(args.channelscae),
-                    n_ch_global=args.globals, alpha=1.0)
+                    n_ch_global=args.globals, alpha=1.0, compute_dtype=cd)
     dec = Dec3D(channels=tuple(args.channelscae),
-                n_ch_global=args.globals, alpha=1.0)
+                n_ch_global=args.globals, alpha=1.0, compute_dtype=cd)
     cae = Cae3D(enc=enc, dec=dec)
 
     dataset = make_dataset(args, [MOD_CBV, MOD_TTD],

@@ -27,8 +27,10 @@ def train(args):
     betas = (0.9, 0.999)
 
     cae, cae_vars = load_model(args.caepath)
+    import jax.numpy as jnp
+    cd = jnp.dtype(args.dtype)
     enc = Enc3D(channels=tuple(args.channelsenc),
-                n_ch_global=args.globals, alpha=1.0)
+                n_ch_global=args.globals, alpha=1.0, compute_dtype=cd)
 
     tx = make_optimizer(learning_rate, betas=betas, weight_decay=1e-5)
     sched = multistep_lr(learning_rate, args.lrsteps) if args.lrsteps else None

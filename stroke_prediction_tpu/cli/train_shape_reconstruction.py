@@ -25,10 +25,12 @@ def train(args):
     betas = (0.9, 0.999)
 
     enc_cls = Enc3DStep if args.steplearning else Enc3D
+    import jax.numpy as jnp
+    cd = jnp.dtype(args.dtype)
     enc = enc_cls(channels=tuple(args.channelscae),
-                  n_ch_global=args.globals, alpha=1.0)
+                  n_ch_global=args.globals, alpha=1.0, compute_dtype=cd)
     dec = Dec3D(channels=tuple(args.channelscae),
-                n_ch_global=args.globals, alpha=1.0)
+                n_ch_global=args.globals, alpha=1.0, compute_dtype=cd)
     cae = Cae3D(enc=enc, dec=dec)
 
     tx = make_optimizer(learning_rate, betas=betas, weight_decay=1e-5)

@@ -25,10 +25,13 @@ def train(args):
     betas = (0.99, 0.999)
     pad = tuple(args.padding)
 
+    import jax.numpy as jnp
+    cd = jnp.dtype(args.dtype)
     enc = Enc3DCtp(channels=tuple(args.channelscae),
-                   n_ch_global=args.globals, alpha=1.0, padding=pad)
+                   n_ch_global=args.globals, alpha=1.0, padding=pad,
+                   compute_dtype=cd)
     dec = Dec3D(channels=tuple(args.channelscae),
-                n_ch_global=args.globals, alpha=1.0)
+                n_ch_global=args.globals, alpha=1.0, compute_dtype=cd)
     cae = Cae3DCtp(enc=enc, dec=dec)
 
     tx = make_optimizer(learning_rate, betas=betas, weight_decay=1e-5)

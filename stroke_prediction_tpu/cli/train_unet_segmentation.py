@@ -28,7 +28,9 @@ def train(args):
         # small synthetic smoke geometry: patch = minimum valid-conv size
         patch = (44, 44, 44)
 
-    unet = Unet3D(channels=tuple(args.channels))
+    import jax.numpy as jnp
+    cd = jnp.dtype(args.dtype)
+    unet = Unet3D(channels=tuple(args.channels), compute_dtype=cd)
     tx = make_optimizer(learning_rate, betas=betas, weight_decay=1e-5)
     sched = multistep_lr(learning_rate, args.lrsteps) if args.lrsteps else None
 

@@ -49,6 +49,9 @@ class ExpParser(argparse.ArgumentParser):
                           help="Use the synthetic stand-in dataset")
         self.add_argument("--ndevices", type=int, default=1,
                           help="Data-parallel device count")
+        self.add_argument("--dtype", type=str, default="bfloat16",
+                          choices=["bfloat16", "float32"],
+                          help="Model compute dtype (params stay float32)")
 
     def parse_args(self, args=None, namespace=None):
         ns = super().parse_args(args, namespace)

@@ -116,7 +116,12 @@ def read_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def load_volume(path: str) -> np.ndarray:
-    """(X, Y, Z) float32 volume from a NIfTI file."""
+    """(X, Y, Z) float32 volume from a NIfTI file (native C++ codec when
+    built, then nibabel, then the pure-Python reader)."""
+    from stroke_prediction_tpu.utils import native_io
+    r = native_io.read_nifti(path)
+    if r is not None:
+        return np.ascontiguousarray(r[0], dtype=np.float32)
     if _nib is not None:
         return np.asarray(_nib.load(path).get_fdata(), dtype=np.float32)
     data, _ = read_nifti(path)
@@ -124,6 +129,10 @@ def load_volume(path: str) -> np.ndarray:
 
 
 def load_affine(path: str) -> np.ndarray:
+    from stroke_prediction_tpu.utils import native_io
+    r = native_io.read_nifti(path)
+    if r is not None:
+        return r[1]
     if _nib is not None:
         return _nib.load(path).affine
     _, affine = read_nifti(path)
@@ -132,6 +141,9 @@ def load_affine(path: str) -> np.ndarray:
 
 def save_nifti(path: str, vol_xyz: np.ndarray, affine=None) -> None:
     vol_xyz = np.asarray(vol_xyz)
+    from stroke_prediction_tpu.utils import native_io
+    if native_io.write_nifti(path, vol_xyz, affine):
+        return
     if _nib is not None:
         if affine is None:
             affine = np.eye(4, dtype=np.float32)
