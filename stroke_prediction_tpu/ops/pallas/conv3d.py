@@ -154,9 +154,10 @@ def _choose_th(h2: int, w2: int) -> int:
     return th
 
 
-@functools.partial(jax.jit, static_argnames=("act", "alpha", "out_dtype"))
+@functools.partial(jax.jit,
+                   static_argnames=("act", "alpha", "out_dtype", "interpret"))
 def _conv3d_s2d_fwd(x, kernel, bias, act: str = "none", alpha: float = 0.01,
-                    out_dtype=jnp.bfloat16):
+                    out_dtype=jnp.bfloat16, interpret: bool = False):
     """Valid 3x3x3 conv + bias + activation via the s2d Pallas kernel.
 
     x: (B, D, H, W, C_in); kernel: (3,3,3,C_in,C_out); bias: (C_out,)
@@ -228,6 +229,7 @@ def _conv3d_s2d_fwd(x, kernel, bias, act: str = "none", alpha: float = 0.01,
             lambda b, d, t: (b, d, t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d2, h2p, w2p, 8 * cout),
                                        out_dtype),
+        interpret=interpret,
     )(*(shifts * 2), wmat, brow)
 
     out = out[:, :, :h2, :w2, :]

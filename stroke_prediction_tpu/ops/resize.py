@@ -62,11 +62,15 @@ def _nearest_matrix(n: int, out_size: int) -> np.ndarray:
 def _apply_axis_matrix(x: jnp.ndarray, m: np.ndarray, axis: int) -> jnp.ndarray:
     w = jnp.asarray(m, x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
                     else jnp.float32)
-    xm = jnp.moveaxis(x, axis, -1)
-    out = jnp.einsum("...n,mn->...m", xm, w,
+    xf = x if jnp.issubdtype(x.dtype, jnp.floating) else x.astype(w.dtype)
+    # contract directly on the target axis (no moveaxis round trip — XLA's
+    # transposes around the restored layout cost ~2x on TPU)
+    ins = "".join(chr(ord("a") + i) for i in range(x.ndim))
+    axl = ins[axis % x.ndim]
+    outs = ins.replace(axl, "Z")
+    out = jnp.einsum(f"{ins},Z{axl}->{outs}", xf, w,
                      preferred_element_type=w.dtype)
-    return jnp.moveaxis(out.astype(x.dtype) if out.dtype != x.dtype else out,
-                        -1, axis)
+    return out.astype(x.dtype) if out.dtype != x.dtype else out
 
 
 def _axis_linear(x: jnp.ndarray, axis: int, out_size: int,
