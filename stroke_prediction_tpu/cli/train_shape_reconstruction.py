@@ -57,7 +57,8 @@ def train(args):
                   base_betas=betas,
                   path_previous_base=args.inbasepath,
                   path_outputs_base=args.outbasepath, seed=args.seed,
-                  mesh=make_mesh(args))
+                  metrics_with_distances=not args.fastmetrics,
+        mesh=make_mesh(args))
     learner.run_training()
 
 

@@ -244,9 +244,11 @@ class Learner:
             # accumulate like MeasuresDto.add (inf propagates through +=),
             # divide like MeasuresDto.div (inf kept as-is) —
             # reference: MetricMeasuresDto.py:6-24
-            # (the float() fetches also anchor the step timing on host
-            # materialization, which the axon tunnel requires)
-            host = {k: float(v) for k, v in metrics.items()}
+            # (one bulk device_get per batch: it anchors the step timing on
+            # host materialization — the axon tunnel requires that — and
+            # avoids a device round trip per metric)
+            host = {k: float(v) for k, v in
+                    jax.device_get(metrics).items()}
             if training:
                 some = batch.get(KEY_LABELS)
                 n_vol = len(some) if some is not None \

@@ -52,6 +52,11 @@ class ExpParser(argparse.ArgumentParser):
         self.add_argument("--dtype", type=str, default="bfloat16",
                           choices=["bfloat16", "float32"],
                           help="Model compute dtype (params stay float32)")
+        self.add_argument("--fastmetrics", action="store_true",
+                          default=False,
+                          help="Skip in-graph HD/ASSD during training "
+                               "epochs (testers keep them); big compile/"
+                               "step savings, Dice etc. unaffected")
 
     def parse_args(self, args=None, namespace=None):
         ns = super().parse_args(args, namespace)
