@@ -56,6 +56,20 @@ class TestUnet3D:
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+class TestLargeUnet3D:
+    def test_forward_shapes(self):
+        # 4-scale variant (the reference's is dead code with a broken
+        # super() call; ours is the intended working version)
+        from stroke_prediction_tpu.models.unet3d import LargeUnet3D
+        model = LargeUnet3D(channels=(2, 3, 4, 5, 6, 5, 4, 3, 4, 2))
+        x = jnp.zeros((1, 92, 92, 92, 2))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        y = model.apply(variables, x, train=False)
+        # per scale: -4 then //2 (x3), bottom -4, up: x2 then -4 (x3)
+        assert y.shape == (1, 4, 4, 4, 2)
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+
 def _make_cae(step=False):
     enc_cls = Enc3DStep if step else Enc3D
     enc = enc_cls(channels=CHANNELS_CAE, n_ch_global=5, alpha=1.0)
