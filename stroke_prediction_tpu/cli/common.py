@@ -19,7 +19,8 @@ def make_provider(args):
                           and not os.path.isdir(DEFAULT_ROOT)):
         return SyntheticCaseProvider(
             n_cases=29, shape_xyz=(args.xyoriginal, args.xyoriginal,
-                                   args.zsize), seed=args.seed)
+                                   args.zsize), seed=args.seed,
+            cache_dir="/tmp/stroke_tpu_synth_cache")
     root = args.datadir or DEFAULT_ROOT
     csv = args.clinicalcsv or DEFAULT_CSV
     return NiftiCaseProvider(root, csv)

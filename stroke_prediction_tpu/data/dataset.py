@@ -103,12 +103,16 @@ class SyntheticCaseProvider:
 
     def __init__(self, n_cases: int = 29, shape_xyz: Tuple[int, int, int] = (256, 256, 28),
                  seed: int = 4,
-                 penu_radius_frac: Tuple[float, float] = (0.12, 0.2)):
+                 penu_radius_frac: Tuple[float, float] = (0.12, 0.2),
+                 cache_dir: Optional[str] = None):
         self._n = n_cases
         self._shape = tuple(shape_xyz)
         self._seed = seed
         self._penu_frac = penu_radius_frac
         self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+        # full-resolution generation takes ~1 min/case on a 1-core host;
+        # the optional disk cache makes repeated CLI runs start fast
+        self._cache_dir = cache_dir
 
     def __len__(self) -> int:
         return self._n
@@ -177,6 +181,23 @@ class SyntheticCaseProvider:
 
     def _case(self, index: int) -> Dict[str, np.ndarray]:
         if index not in self._cache:
+            if self._cache_dir is not None:
+                import os
+                x, y, z = self._shape
+                fn = os.path.join(
+                    self._cache_dir,
+                    f"synth_s{self._seed}_{x}x{y}x{z}_"
+                    f"p{self._penu_frac[0]}-{self._penu_frac[1]}_"
+                    f"c{index}.npz")
+                if os.path.exists(fn):
+                    with np.load(fn) as d:
+                        self._cache[index] = {k: d[k] for k in d.files}
+                    return self._cache[index]
+                case = self._gen(index)
+                os.makedirs(self._cache_dir, exist_ok=True)
+                np.savez(fn, **case)
+                self._cache[index] = case
+                return case
             self._cache[index] = self._gen(index)
         return self._cache[index]
 
