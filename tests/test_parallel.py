@@ -117,3 +117,35 @@ class TestMeshHelpers:
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as g
         g.dryrun_multichip(8)
+
+
+class TestDataParallelLearner:
+    def test_unet_learner_trains_on_mesh(self, tmp_path):
+        """Full Learner epoch protocol with a data-parallel mesh: batches
+        sharded over 8 devices, params replicated, artifacts written."""
+        from stroke_prediction_tpu.data.dataset import (
+            LABEL_CORE, LABEL_PENU, MOD_CBV, MOD_TTD,
+            StrokeDataset3D, SyntheticCaseProvider)
+        from stroke_prediction_tpu.data.loader import (
+            get_stroke_shape_training_data)
+        from stroke_prediction_tpu.train.optim import make_optimizer
+        from stroke_prediction_tpu.train.unet_learner import (
+            UnetSegmentationLearner)
+
+        provider = SyntheticCaseProvider(n_cases=8, shape_xyz=(24, 24, 24),
+                                         seed=4, penu_radius_frac=(0.3, 0.45))
+        ds = StrokeDataset3D(provider, [MOD_CBV, MOD_TTD],
+                             [LABEL_CORE, LABEL_PENU], pad=(20, 20, 20))
+        train, valid = get_stroke_shape_training_data(
+            ds, range(8), 0.25, seed=4, batchsize=4)
+        learner = UnetSegmentationLearner(
+            train, valid, Unet3D(channels=(2, 4, 6, 8, 6, 4, 6, 2)),
+            make_optimizer(1e-3, betas=(0.99, 0.999)), None, n_epochs=2,
+            patch_whd=(44, 44, 44), pad_xyz=(20, 20, 20),
+            path_outputs_base=str(tmp_path / "dp"), seed=4,
+            metrics_with_distances=False, mesh=make_data_mesh(4))
+        learner.run_training()
+        assert len(learner._metric_dtos["training"]) == 2
+        assert np.isfinite(learner._metric_dtos["training"][-1]["loss"])
+        import os
+        assert os.path.exists(str(tmp_path / "dp_unet_final.model"))
