@@ -25,7 +25,8 @@ from stroke_prediction_tpu.core.dto import BRANCH_GTRUTH
 from stroke_prediction_tpu.data.dataset import (
     KEY_CASE_ID, KEY_GLOBAL, KEY_IMAGES, KEY_LABELS,
     LABEL_CORE, LABEL_LESION, LABEL_PENU, MOD_CBV, MOD_TTD)
-from stroke_prediction_tpu.eval.metrics import binary_measures_host
+from stroke_prediction_tpu.eval.metrics import (
+    binary_measures, binary_measures_host)
 from stroke_prediction_tpu.eval.tester import Tester
 from stroke_prediction_tpu.inference import cae_dto_from_batch
 from stroke_prediction_tpu.utils.nifti import (
@@ -56,6 +57,20 @@ class CaeReconstructionTester(Tester):
 
         self._forward = forward
 
+        @jax.jit
+        def forward_steps(labels, clinical, steps_hours):
+            # batched sweep: one forward where the step values form the
+            # batch axis
+            norm_h = norm - clinical[:, 0:1]
+            ttt = steps_hours[:, None] / norm_h
+            dto = cae_dto_from_batch(None, labels, clinical, step=None,
+                                     normalization_hours_penumbra=norm)
+            dto = dto.replace(given_variables=dto.given_variables.replace(
+                time_to_treatment=ttt))
+            return model.apply(variables, dto, BRANCH_GTRUTH, False)
+
+        self._forward_steps = forward_steps
+
     def infer_batch(self, batch, step: Optional[float] = None):
         labels = jnp.asarray(batch[KEY_LABELS])
         clinical = jnp.asarray(batch[KEY_GLOBAL])
@@ -69,6 +84,33 @@ class CaeReconstructionTester(Tester):
             "penu": binary_measures_host(rec.penu, gt.penu),
         }
         return metrics, dto
+
+    def infer_batch_steps(self, batch, steps_hours):
+        """Counterfactual sweep as ONE batched forward: the step values
+        become the batch axis (SURVEY.md §7 — a vmapped step axis instead
+        of the reference's serial forwards,
+        CaeReconstructionTesterCurve.py:27-42).
+
+        Returns a list of per-step metric dicts (lesion measures)."""
+        labels = jnp.asarray(batch[KEY_LABELS])
+        clinical = jnp.asarray(batch[KEY_GLOBAL])
+        steps = jnp.asarray(np.asarray(steps_hours, np.float32))
+        s = steps.shape[0]
+        labels_t = jnp.broadcast_to(labels, (s,) + labels.shape[1:])
+        clin_t = jnp.broadcast_to(clinical, (s,) + clinical.shape[1:])
+
+        dto = self._forward_steps(labels_t, clin_t, steps)
+        rec, gt = dto.reconstructions.gtruth, dto.given_variables.gtruth
+
+        per_step = jax.vmap(lambda r, g: binary_measures(r, g))(
+            rec.interpolation, gt.lesion)
+        per_step = jax.device_get(per_step)
+        from stroke_prediction_tpu.core.dto import BinaryMeasures
+        out = [BinaryMeasures(*(float(np.asarray(getattr(per_step, f))[i])
+                                for f in ("dc", "hd", "assd", "precision",
+                                          "sensitivity", "specificity")))
+               for i in range(s)]
+        return out, dto
 
     def _case_index(self, case_id):
         ds = self._dataloader.dataset
@@ -93,11 +135,13 @@ class CaeReconstructionTester(Tester):
         dump(rec.interpolation, "_pred", LABEL_LESION)
         dump(rec.penu, "_penu", LABEL_PENU)
 
-    def print_inference(self, batch, metrics, dto=None, note=""):
+    def print_inference(self, batch, metrics, dto=None, note="", ttt=None):
         """reference: CaeReconstructionTester.py:46-63."""
         clinical = np.asarray(batch[KEY_GLOBAL])[0]
-        ttt = (float(np.asarray(dto.given_variables.time_to_treatment)[0, 0])
-               if dto is not None else float("nan"))
+        if ttt is None:
+            ttt = (float(np.asarray(
+                dto.given_variables.time_to_treatment)[0, 0])
+                if dto is not None else float("nan"))
         lesion = metrics["lesion"]
         print("Case Id={}\ttA-tO={:.3f}\ttR-tA={:.3f}\t"
               "normalized_time_to_treatment={:.3f}\t-->\tDC={:.3f}\t"
@@ -131,32 +175,41 @@ class CaeReconstructionTesterCurve(CaeReconstructionTester):
 
     def run_inference(self):
         for batch in self._dataloader:
-            # 1) ground truth tA->tR
-            metrics, dto = self.infer_batch(batch, None)
-            self.print_inference(batch, metrics, dto)
+            # 1) ground truth tA->tR (also yields the step-independent
+            #    core/penumbra measures reused by the sweeps)
+            m_gt, dto = self.infer_batch(batch, None)
+            self.print_inference(batch, m_gt, dto)
             self.save_inference(dto, batch)
 
+            clinical = np.asarray(batch[KEY_GLOBAL])[0]
+            to_to_ta, ta_to_tr = float(clinical[0]), float(clinical[1])
+            norm = self._norm_hours - to_to_ta
+            tr_to_penu = norm
+
+            def sweep(steps_hours, notes):
+                # one batched forward per sweep family (the step values
+                # form the batch axis) instead of serial per-step passes
+                lesions, _ = self.infer_batch_steps(batch, steps_hours)
+                for lesion, hours, note in zip(lesions, steps_hours, notes):
+                    self.print_inference(
+                        batch,
+                        {"lesion": lesion, "core": m_gt["core"],
+                         "penu": m_gt["penu"]},
+                        None, note, ttt=hours / norm)
+
             # 2) fixed tA->tR hours
-            for step in self._steps_fixed:
-                metrics, dto = self.infer_batch(batch, step)
-                self.print_inference(batch, metrics, dto,
-                                     "ta_to_tr fixed=" + str(step))
+            fixed = [float(s) for s in self._steps_fixed]
+            sweep(fixed, ["ta_to_tr fixed=" + str(s)
+                          for s in self._steps_fixed])
 
             # 3) relative tA->tR multiples
-            ta_to_tr = float(np.asarray(batch[KEY_GLOBAL])[0, 1])
-            for step in self._steps_relative:
-                metrics, dto = self.infer_batch(batch, step * ta_to_tr)
-                self.print_inference(
-                    batch, metrics, dto,
-                    "ta_to_tr ratio=" + str(step) + "\t("
-                    + str(step * ta_to_tr) + ")")
+            rel = [s * ta_to_tr for s in self._steps_relative]
+            sweep(rel, ["ta_to_tr ratio=" + str(s) + "\t("
+                        + str(s * ta_to_tr) + ")"
+                        for s in self._steps_relative])
 
             # 4) uniform [0, 1] between recanalization and penumbra
-            to_to_ta = float(np.asarray(batch[KEY_GLOBAL])[0, 0])
-            tr_to_penu = self._norm_hours - to_to_ta
-            for step in [i / 10.0 for i in range(11)]:
-                metrics, dto = self.infer_batch(batch, step * tr_to_penu)
-                self.print_inference(
-                    batch, metrics, dto,
-                    "tr_to_penumbra=" + str(step) + "\t("
-                    + str(step * tr_to_penu) + ")")
+            uni_f = [i / 10.0 for i in range(11)]
+            uni = [s * tr_to_penu for s in uni_f]
+            sweep(uni, ["tr_to_penumbra=" + str(s) + "\t("
+                        + str(s * tr_to_penu) + ")" for s in uni_f])

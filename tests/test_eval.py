@@ -88,6 +88,42 @@ class TestCaeTester:
             lat0, np.asarray(dto0.latents.gtruth.core), rtol=1e-4, atol=1e-5)
 
 
+class TestCurveSweep:
+    def test_batched_sweep_matches_serial(self, cae_checkpoint,
+                                          test_loader):
+        """The vmapped step-axis sweep (SURVEY.md §7) must reproduce the
+        serial per-step results."""
+        from stroke_prediction_tpu.eval.cae_tester import (
+            CaeReconstructionTesterCurve)
+        path, out = cae_checkpoint
+        tester = CaeReconstructionTesterCurve(
+            test_loader, path, str(out / "curve"), 10,
+            ta_to_tr_fixed_hours=[0.0, 2.0, 5.0])
+        batch = next(iter(test_loader))
+        batched, _ = tester.infer_batch_steps(batch, [0.0, 2.0, 5.0])
+        for i, step in enumerate([0.0, 2.0, 5.0]):
+            serial, _ = tester.infer_batch(batch, step)
+            assert batched[i].dc == pytest.approx(serial["lesion"].dc,
+                                                  abs=1e-5)
+            assert batched[i].assd == pytest.approx(
+                serial["lesion"].assd, abs=1e-3)
+
+    def test_run_inference_prints_all_sweeps(self, cae_checkpoint,
+                                             test_loader, capsys):
+        from stroke_prediction_tpu.eval.cae_tester import (
+            CaeReconstructionTesterCurve)
+        path, out = cae_checkpoint
+        tester = CaeReconstructionTesterCurve(
+            test_loader, path, str(out / "curve2"), 10,
+            ta_to_tr_fixed_hours=[0.0, 1.0],
+            ta_to_tr_relative_steps=[0.5, 1.0])
+        tester.run_inference()
+        printed = capsys.readouterr().out
+        assert printed.count("ta_to_tr fixed=") == 2 * 2    # 2 cases
+        assert printed.count("ta_to_tr ratio=") == 2 * 2
+        assert printed.count("tr_to_penumbra=") == 11 * 2
+
+
 class TestUnetTester:
     def test_run_inference(self, tmp_path, capsys):
         ch = (2, 4, 6, 8, 6, 4, 6, 2)
