@@ -8,6 +8,7 @@ precision recipe and preserves Dice parity.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -91,6 +92,17 @@ class Conv3d(nn.Module):
 
         if tuple(self.kernel_size) == (1, 1, 1):
             y = jnp.einsum("bdhwc,co->bdhwo", x, k[0, 0, 0])
+        elif (tuple(self.kernel_size) == (3, 3, 3)
+              and os.environ.get("STROKE_TPU_CONV_IMPL") == "pallas_s2d"):
+            # opt-in: Pallas fused s2d forward (XLA-derived backward); the
+            # batch-merged 2D path below is the tuned default
+            from stroke_prediction_tpu.ops.pallas.conv3d import conv3d_s2d
+            y = conv3d_s2d(x, k, jnp.zeros((self.features,), jnp.float32))
+            return (y + bias.astype(y.dtype)
+                    if tuple(self.strides) == (1, 1, 1) else
+                    y[tuple([slice(None)]
+                            + [slice(None, None, s) for s in self.strides]
+                            + [slice(None)])] + bias.astype(y.dtype))
         else:
             y = _conv3d_as_2d(x, k)
 

@@ -235,3 +235,43 @@ def _conv3d_s2d_fwd(x, kernel, bias, act: str = "none", alpha: float = 0.01,
     out = out[:, :, :h2, :w2, :]
     y = depth_to_space2(out, (do, ho, wo))
     return y[..., :cout_real]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (opt-in integration point)
+# ---------------------------------------------------------------------------
+
+def _lax_reference(x, kernel, bias, act, alpha):
+    # single-dtype conv so the transpose (gradient) rules stay well-typed
+    dt = jnp.result_type(x.dtype, kernel.dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), kernel.astype(dt), (1, 1, 1),
+        "VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) \
+        + bias.astype(dt)
+    return _act(y, act, alpha)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3d_s2d(x, kernel, bias, act: str = "none", alpha: float = 0.01):
+    """Differentiable fused conv3d: Pallas s2d kernel forward, XLA
+    backward (the cotangents are derived from the lax reference — an
+    extra forward recompute in the backward pass, correct by
+    construction; a native s2d backward is the round-2 plan, NOTES.md).
+    """
+    return _conv3d_s2d_fwd(x, kernel, bias, act=act, alpha=alpha,
+                           out_dtype=jnp.bfloat16)
+
+
+def _conv3d_s2d_vjp_fwd(x, kernel, bias, act, alpha):
+    return conv3d_s2d(x, kernel, bias, act, alpha), (x, kernel, bias)
+
+
+def _conv3d_s2d_vjp_bwd(act, alpha, res, g):
+    x, kernel, bias = res
+    out_ref, vjp = jax.vjp(
+        lambda x, k, b: _lax_reference(x, k, b, act, alpha),
+        x, kernel, bias)
+    return vjp(g.astype(out_ref.dtype))
+
+
+conv3d_s2d.defvjp(_conv3d_s2d_vjp_fwd, _conv3d_s2d_vjp_bwd)
