@@ -33,7 +33,11 @@ def _get_devices(n: int):
         cpu = jax.devices("cpu")
         if len(cpu) >= n:
             devices = cpu
-    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    assert len(devices) >= n, (
+        f"need {n} devices, have {len(devices)}; for a fake multi-device "
+        f"CPU mesh run with JAX_PLATFORMS=cpu "
+        f"XLA_FLAGS=--xla_force_host_platform_device_count={n} set "
+        f"before jax initializes (see tests/conftest.py)")
     return devices[:n]
 
 
