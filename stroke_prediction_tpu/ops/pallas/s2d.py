@@ -1,0 +1,526 @@
+"""s2d-domain fused 3-D convolution engine (Pallas TPU).
+
+The stroke models' convolutions have 2-64 output channels; the MXU
+computes ``2 * 128 * N`` FLOPs per streamed row, so with N = C_out = 16
+XLA's conv tops out at ~2-6 TF/s on v5e regardless of K (measured,
+tools/perf_probe.py).  This engine packs the 2x2x2 output neighborhood
+into the matmul's N dimension (output space-to-depth): N = 8*C_out
+reaches the MXU's native 128 lanes at C_out = 16.
+
+Unlike the round-1 kernel (ops/pallas/conv3d.py, forward-only, per-call
+layout transforms), this engine keeps activations IN the s2d layout
+across consecutive layers, so the space-to-depth/depth-to-space
+re-layouts amortize over a whole conv chain (NOTES.md round-1 plan):
+
+  * an :class:`S2d` value is ``(B, Dc, Hc, Wc, 8*Cp)`` cells with
+    parity-major channels ``(pd, ph, pw, c)`` plus static logical
+    ``(D, H, W, C)`` metadata;
+  * **zero invariant**: every slot outside the logical extent (spatial
+    garbage from odd dims / grid padding, and padded channels) is
+    exactly 0 — enforced by in-kernel masking — so masked BatchNorm
+    statistics (sum / true-count) over s2d tensors are exact;
+  * the conv's output IS the next conv's input (d2s ∘ s2d = identity on
+    the same grid); maxpool(2) is a free channel-group max
+    (:func:`s2d_pool2`); a stride-2 conv is the parity-0 channel slice
+    of the stride-1 output (:func:`s2d_stride2`);
+  * per-axis mode ``'v'`` (valid) or ``'s'`` (pad-1 SAME, a 3-cell
+    window) expresses the reference's asymmetric paddings: the CAE
+    encoder's z-only pad (reference common/model/Cae3D.py:39-76) is
+    ``modes=('s','v','v')``; even pads are exact cell pads
+    (:func:`s2d_cell_pad`).
+
+Kernel structure (:func:`_s2d_conv_p`): grid ``(B, Dc_out)``; one input
+operand per z-shift (the same array passed with shifted index maps — no
+copies); the 4 in-plane taps are built in VMEM from row slices (H) and a
+lane-preserving sublane roll (W, ``pltpu.roll``); one accumulated MXU
+matmul per tap ``(rows, 8*C_in) @ (8*C_in, 8*C_out)``; bias + activation
+(none / leaky_relu / elu) + garbage masking fused.
+
+The custom VJP stays in the s2d domain end-to-end: dx is the SAME kernel
+with the flipped/transposed superpatch weights on the cell-padded
+cotangent (full correlation), dW is 8 XLA dot_generals over the s2d
+operands folded back onto the 27 taps, and activation gradients are
+recovered from the saved OUTPUT (LeakyReLU sign trick; ELU via
+``dy = y + alpha`` for y < 0) so no pre-activation tensor is stored.
+
+BatchNorm is folded into (kernel, bias) by the caller OUTSIDE the kernel
+(models/layers.py): ``conv(x*s + t) == conv_{k*s}(x) + t @ sum_taps(k)``,
+exact and differentiable, so BN -> conv -> act is one device op.
+
+Reference compute being replaced: common/model/Unet3D.py:14-54 and
+common/model/Cae3D.py:39-239 (torch Conv3d/cuDNN).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _cells(n: int) -> int:
+    return -(-n // 2)
+
+
+# ---------------------------------------------------------------------------
+# The S2d container
+# ---------------------------------------------------------------------------
+
+class S2d(NamedTuple):
+    """A logical (B, D, H, W, C) tensor in 2x2x2 space-to-depth cell layout.
+
+    cells: (B, Dc, Hc, Wc, 8*Cp) with parity-major channels (pd, ph, pw, c),
+    Dc = ceil(D/2), Hc = ceil(H/2), Wc >= ceil(W/2) (multiple of 8),
+    Cp = C rounded up to a multiple of 16 (so 8*Cp is a lane multiple of
+    128).  All slots outside the logical extent are zero.
+    """
+
+    cells: jnp.ndarray
+    logical: Tuple[int, int, int, int]   # (D, H, W, C) — static
+
+    @property
+    def cp(self) -> int:
+        return self.cells.shape[-1] // 8
+
+
+jax.tree_util.register_pytree_node(
+    S2d,
+    lambda s: ((s.cells,), s.logical),
+    lambda logical, xs: S2d(xs[0], logical))
+
+
+def s2d_pack(x: jnp.ndarray, dtype=jnp.bfloat16) -> S2d:
+    """(B, D, H, W, C) -> S2d.  Zero-pads odd spatial dims, the W cell grid
+    to a multiple of 8, and channels to a multiple of 16 (zero invariant).
+
+    Decomposed per axis (W interleave is a free reshape; H and D are
+    single-axis interleaves) — measured ~2.5x faster than the naive 8-way
+    transpose on TPU.
+    """
+    b, d, h, w, c = x.shape
+    cp = _round_up(max(c, 16), 16)
+    wc = _round_up(_cells(w), 8)
+    x = x.astype(dtype)
+    pads = ((0, 0), (0, d % 2), (0, h % 2), (0, 2 * wc - w), (0, cp - c))
+    if any(p != (0, 0) for p in pads):
+        x = jnp.pad(x, pads)
+    dc, hc = x.shape[1] // 2, x.shape[2] // 2
+    y = x.reshape(b, 2 * dc, 2 * hc, wc, 2 * cp)             # (pw, c): free
+    y = y.reshape(b, 2 * dc, hc, 2, wc, 2 * cp)
+    y = y.swapaxes(3, 4).reshape(b, 2 * dc, hc, wc, 4 * cp)  # (ph, pw, c)
+    y = y.reshape(b, dc, 2, hc, wc, 4 * cp)
+    y = jnp.moveaxis(y, 2, 4).reshape(b, dc, hc, wc, 8 * cp)
+    return S2d(y, (d, h, w, c))
+
+
+def s2d_unpack(s: S2d) -> jnp.ndarray:
+    """S2d -> logical (B, D, H, W, C)."""
+    return s2d_crop_unpack(s, (0, 0, 0), s.logical[:3])
+
+
+def s2d_crop_unpack(s: S2d, start: Sequence[int],
+                    size: Sequence[int]) -> jnp.ndarray:
+    """Fused crop + depth-to-space: reads only the covering cell region,
+    so cropping exits (e.g. the U-Net's center-crop skip connections)
+    never materialize the full-resolution tensor."""
+    (zd, yd, xd), (sd, sh, sw) = start, size
+    c = s.logical[3]
+    z0, y0, x0 = zd // 2, yd // 2, xd // 2
+    z1, y1, x1 = _cells(zd + sd), _cells(yd + sh), _cells(xd + sw)
+    cells = s.cells[:, z0:z1, y0:y1, x0:x1, :]
+    b, dc, hc, wc, c8 = cells.shape
+    cp = c8 // 8
+    y = cells.reshape(b, dc, hc, wc, 2, 4 * cp)
+    y = jnp.moveaxis(y, 4, 2).reshape(b, 2 * dc, hc, wc, 4 * cp)
+    y = y.reshape(b, 2 * dc, hc, wc, 2, 2 * cp)
+    y = y.swapaxes(3, 4).reshape(b, 2 * dc, 2 * hc, wc, 2 * cp)
+    y = y.reshape(b, 2 * dc, 2 * hc, 2 * wc, cp)
+    oz, oy, ox = zd - 2 * z0, yd - 2 * y0, xd - 2 * x0
+    return y[:, oz:oz + sd, oy:oy + sh, ox:ox + sw, :c]
+
+
+def s2d_cell_pad(s: S2d, pads_dhw: Sequence[int]) -> S2d:
+    """Symmetric logical zero-pad: ``pads_dhw`` is the EVEN per-side pad
+    per axis (torch ``padding=p`` adds p on both sides), applied as exact
+    cell pads.  Odd pads are expressed via conv mode 's' instead."""
+    pd, ph, pw = pads_dhw
+    assert pd % 2 == 0 and ph % 2 == 0 and pw % 2 == 0, pads_dhw
+    d, h, w, c = s.logical
+    cz, cy, cx = pd // 2, ph // 2, pw // 2
+    wc_new = _round_up(s.cells.shape[3] + 2 * cx, 8)
+    cells = jnp.pad(s.cells, (
+        (0, 0), (cz, cz), (cy, cy),
+        (cx, wc_new - s.cells.shape[3] - cx), (0, 0)))
+    return S2d(cells, (d + 2 * pd, h + 2 * ph, w + 2 * pw, c))
+
+
+def s2d_pool2(s: S2d) -> jnp.ndarray:
+    """MaxPool3d(2) (floor) in the s2d domain: a channel-group max — the
+    pooled voxel IS the cell's max over its 8 parities.  Returns the
+    logical (B, D//2, H//2, W//2, C) tensor (reference: torch
+    max_pool3d(x, 2), common/model/Unet3D.py:56-60)."""
+    d, h, w, c = s.logical
+    b, dc, hc, wc, c8 = s.cells.shape
+    cp = c8 // 8
+    # floor semantics: a partially-valid cell is never kept, so the kept
+    # cells' 8 parity slots are exactly the 2x2x2 pool window — no masking
+    y = s.cells.reshape(b, dc, hc, wc, 8, cp)
+    out = jnp.max(y, axis=4)
+    return out[:, :d // 2, :h // 2, :w // 2, :c]
+
+
+def s2d_stride2(s: S2d) -> jnp.ndarray:
+    """Stride-2 subsampling in the s2d domain: the parity-(0,0,0) channel
+    group.  Turns a stride-1 s2d conv into a stride-2 conv for free."""
+    d, h, w, c = s.logical
+    out = s.cells[..., :c]
+    return out[:, :_cells(d), :_cells(h), :_cells(w), :]
+
+
+# ---------------------------------------------------------------------------
+# Superpatch weight tables
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _tap_table(modes: Tuple[str, str, str]) -> np.ndarray:
+    """T[q, p, a] = flat kernel tap (tz*9+ty*3+tx) fed from in-cell parity
+    p of shift-combination q into output parity a, or 27 (zero) when out
+    of the 3-tap range.
+
+    q enumerates per-axis cell shifts (z-major): 'v' axes have shifts
+    {0, 1} over the natural cell grid; 's' axes have shifts {0, 1, 2}
+    over a front-cell-padded grid (logical pad 1 SAME).
+    """
+    nq = [2 if m == "v" else 3 for m in modes]
+    T = np.full((nq[0] * nq[1] * nq[2], 8, 8), 27, np.int64)
+
+    def tap(mode, q, p, a):
+        d = 2 * q + p if mode == "v" else 2 * (q - 1) + p
+        t = d - a if mode == "v" else d - a + 1
+        return t if 0 <= t < 3 else None
+
+    for qi, (qz, qy, qx) in enumerate(
+            (z, y, x) for z in range(nq[0]) for y in range(nq[1])
+            for x in range(nq[2])):
+        for p in range(8):
+            pz, py, px = p >> 2 & 1, p >> 1 & 1, p & 1
+            for a in range(8):
+                az, ay, ax = a >> 2 & 1, a >> 1 & 1, a & 1
+                tz = tap(modes[0], qz, pz, az)
+                ty = tap(modes[1], qy, py, ay)
+                tx = tap(modes[2], qx, px, ax)
+                if tz is not None and ty is not None and tx is not None:
+                    T[qi, p, a] = (tz * 3 + ty) * 3 + tx
+    return T
+
+
+def superpatch_weights(kernel: jnp.ndarray,
+                       modes: Tuple[str, str, str]) -> jnp.ndarray:
+    """(3, 3, 3, Ci, Co) -> (n_q, 8*Ci, 8*Co) per-shift weight matrices.
+    Row layout (p, ci) matches the s2d channel order; column (a, co)."""
+    ci, co = kernel.shape[3], kernel.shape[4]
+    k4 = jnp.concatenate(
+        [kernel.reshape(27, ci, co), jnp.zeros((1, ci, co), kernel.dtype)])
+    T = jnp.asarray(_tap_table(modes))                    # (nq, 8, 8)
+    w = k4[T]                                             # (nq, 8, 8, ci, co)
+    w = jnp.transpose(w, (0, 1, 3, 2, 4))                 # (nq, 8, ci, 8, co)
+    return w.reshape(T.shape[0], 8 * ci, 8 * co)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _roll_w(x, interpret: bool):
+    """Shift the W (sublane) axis left by one: out[..., j, :] = x[..., j+1, :]
+    (wrap-around lands in the masked garbage region).  jnp.roll lowers to a
+    supported Mosaic rotate for bf16; pltpu.roll does not (32-bit only)."""
+    del interpret
+    return jnp.roll(x, -1, axis=1)
+
+
+def _act(y, act: str, alpha: float):
+    if act == "leaky_relu":
+        return jnp.where(y > 0, y, alpha * y)
+    if act == "elu":
+        return jnp.where(y > 0, y, alpha * (jnp.exp(y) - 1.0))
+    return y
+
+
+def _conv_kernel(*refs, nz: int, hco: int, wcp: int, c8: int, act: str,
+                 alpha: float, out_dtype, out_logical, cout_real: int,
+                 interpret: bool):
+    x_refs = refs[:nz]
+    w_ref, b_ref, o_ref = refs[nz], refs[nz + 1], refs[nz + 2]
+    do, ho, wo = out_logical
+    co8 = w_ref.shape[-1]
+
+    acc = None
+    for zi in range(nz):
+        base = x_refs[zi][0, 0]                       # (hci, wcp, c8)
+        for qx in range(2):
+            xv = base if qx == 0 else _roll_w(base, interpret)
+            for qy in range(2):
+                rows = xv[qy:qy + hco].reshape(hco * wcp, c8)
+                part = jnp.dot(rows, w_ref[(zi * 2 + qy) * 2 + qx],
+                               preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+
+    y = _act(acc + b_ref[:], act, alpha)
+
+    # zero-invariant mask: kill voxels beyond the logical output extent
+    # (odd dims / grid padding) and padded output channels
+    y = y.reshape(hco, wcp, co8)
+    zc = pl.program_id(1)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (hco, wcp, co8), 2)
+    hid = jax.lax.broadcasted_iota(jnp.int32, (hco, wcp, co8), 0)
+    wid = jax.lax.broadcasted_iota(jnp.int32, (hco, wcp, co8), 1)
+    pz, py, px = (cid // (4 * cout_real)) % 2, \
+        (cid // (2 * cout_real)) % 2, (cid // cout_real) % 2
+    ok = ((2 * zc + pz < do) & (2 * hid + py < ho) & (2 * wid + px < wo)
+          & (cid < 8 * cout_real))
+    y = jnp.where(ok, y, 0.0)
+    o_ref[:] = y.reshape(1, 1, hco, wcp, co8).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("modes", "act", "alpha", "in_logical",
+                              "out_dtype", "interpret"))
+def _s2d_conv_p(cells, wmats, brow, *, modes, act, alpha, in_logical,
+                out_dtype, interpret):
+    """Pallas conv on s2d cells.  cells: (B, Dci, Hci, Wcp, 8*Cip)
+    (z-cell-padded by (1,1) already if modes[0] == 's');
+    wmats: (nq, 8*Cip, 8*Cop); brow: (1, 8*Cop).
+    Returns output cells (B, Dco, Hco, Wcp, 8*Cop)."""
+    d, h, w, _ = in_logical
+    do = d - 2 if modes[0] == "v" else d
+    ho, wo = h - 2, w - 2
+    dco, hco = _cells(do), _cells(ho)
+    b, dci, hci, wcp, c8 = cells.shape
+    nz = 2 if modes[0] == "v" else 3
+    nq, _, co8 = wmats.shape
+    assert nq == nz * 4, (nq, nz)
+
+    # weight layout per (qz, qy, qx) -> kernel loop order (zi, qy, qx)
+    kern = functools.partial(
+        _conv_kernel, nz=nz, hco=hco, wcp=wcp, c8=c8, act=act, alpha=alpha,
+        out_dtype=out_dtype, out_logical=(do, ho, wo),
+        cout_real=co8 // 8, interpret=interpret)
+
+    def xspec(qz):
+        return pl.BlockSpec((1, 1, hci, wcp, c8),
+                            lambda b, d, qz=qz: (b, d + qz, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(b, dco),
+        in_specs=[xspec(qz) for qz in range(nz)] + [
+            pl.BlockSpec((nq, c8, co8), lambda b, d: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co8), lambda b, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hco, wcp, co8),
+                               lambda b, d: (b, d, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, dco, hco, wcp, co8), out_dtype),
+        interpret=interpret,
+    )(*([cells] * nz), wmats, brow)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable s2d conv
+# ---------------------------------------------------------------------------
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _prep(cells, kernel, bias, modes):
+    """Channel-pad kernel/bias to the cells' padded channel counts and
+    build the superpatch operands."""
+    cip = cells.shape[-1] // 8
+    ci, co = kernel.shape[3], kernel.shape[4]
+    cop = _round_up(max(co, 16), 16)
+    kernel = jnp.pad(kernel.astype(jnp.float32),
+                     ((0, 0),) * 3 + ((0, cip - ci), (0, cop - co)))
+    bias = jnp.pad(bias.astype(jnp.float32), (0, cop - co))
+    wmats = superpatch_weights(kernel.astype(jnp.bfloat16), modes)
+    brow = jnp.tile(bias, 8).reshape(1, 8 * cop)
+    return wmats, brow, cop
+
+
+def _zpad(cells, modes):
+    if modes[0] == "s":
+        return jnp.pad(cells, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    return cells
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _s2d_conv(cells, kernel, bias, in_logical, modes, act, alpha):
+    interpret = _interpret_default()
+    wmats, brow, _ = _prep(cells, kernel, bias, modes)
+    return _s2d_conv_p(_zpad(cells, modes), wmats, brow, modes=modes,
+                       act=act, alpha=alpha, in_logical=in_logical,
+                       out_dtype=cells.dtype, interpret=interpret)
+
+
+def _s2d_conv_fwd(cells, kernel, bias, in_logical, modes, act, alpha):
+    y = _s2d_conv(cells, kernel, bias, in_logical, modes, act, alpha)
+    return y, (cells, kernel, y)
+
+
+def _out_mask(shape_cells, out_logical, cout_real, dtype):
+    """(Dco, Hco, Wcp, 8*Cop) validity mask matching the kernel's."""
+    _, dco, hco, wcp, co8 = shape_cells
+    do, ho, wo = out_logical
+    zid = jax.lax.broadcasted_iota(jnp.int32, (dco, hco, wcp, co8), 0)
+    hid = jax.lax.broadcasted_iota(jnp.int32, (dco, hco, wcp, co8), 1)
+    wid = jax.lax.broadcasted_iota(jnp.int32, (dco, hco, wcp, co8), 2)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (dco, hco, wcp, co8), 3)
+    pz = (cid // (4 * cout_real)) % 2
+    py = (cid // (2 * cout_real)) % 2
+    px = (cid // cout_real) % 2
+    ok = ((2 * zid + pz < do) & (2 * hid + py < ho) & (2 * wid + px < wo)
+          & (cid < 8 * cout_real))
+    return ok
+
+
+def _s2d_conv_bwd(in_logical, modes, act, alpha, res, g):
+    cells, kernel, y = res
+    d, h, w, c = in_logical
+    do = d - 2 if modes[0] == "v" else d
+    ho, wo = h - 2, w - 2
+    ci, co = kernel.shape[3], kernel.shape[4]
+    cip = cells.shape[-1] // 8
+    cop = y.shape[-1] // 8
+    interpret = _interpret_default()
+
+    # activation gradient from the output; mask the cotangent so garbage
+    # slots (whose forward value is the constant 0) contribute nothing
+    ok = _out_mask(y.shape, (do, ho, wo), cop, y.dtype)
+    yf = y.astype(jnp.float32)
+    if act == "leaky_relu":
+        dact = jnp.where(yf > 0, 1.0, alpha)
+    elif act == "elu":
+        dact = jnp.where(yf > 0, 1.0, yf + alpha)
+    else:
+        dact = jnp.ones_like(yf)
+    gp = jnp.where(ok, g.astype(jnp.float32) * dact, 0.0)
+
+    # d(bias): sum over all valid voxels, folding the 8 output parities
+    gp8 = gp.reshape(gp.shape[:-1] + (8, cop))
+    db = jnp.sum(gp8, axis=(0, 1, 2, 3, 4), dtype=jnp.float32)[:co]
+
+    gpb = gp.astype(jnp.bfloat16)
+
+    # dx: full correlation = the SAME kernel on the cell-padded cotangent
+    # with the flipped, ci<->co transposed weights; 's' axes self-pad
+    kd = jnp.swapaxes(jnp.flip(kernel, (0, 1, 2)), 3, 4)   # (3,3,3,co,ci)
+    kd = jnp.pad(kd.astype(jnp.float32),
+                 ((0, 0),) * 3 + ((0, cop - co), (0, cip - ci)))
+    wd = superpatch_weights(kd.astype(jnp.bfloat16), modes)
+    zb = jnp.zeros((1, 8 * cip), jnp.float32)
+    zpad = (0, 0) if modes[0] == "s" else (1, 1)
+    gpad = jnp.pad(gpb, ((0, 0), zpad, (1, 1), (1, 0), (0, 0)))
+    wcp_dx = _round_up(gpad.shape[3], 8)
+    gpad = jnp.pad(gpad, ((0, 0),) * 3 + ((0, wcp_dx - gpad.shape[3]),
+                                          (0, 0)))
+    glog = (do + (4 if modes[0] == "v" else 0), ho + 4, wo + 4, co)
+    dxc = _s2d_conv_p(_zpad(gpad, modes), wd, zb, modes=modes, act="none",
+                      alpha=0.0, in_logical=glog, out_dtype=jnp.bfloat16,
+                      interpret=interpret)
+    # physical grid of dx == grid of cells (z/h exact; w by construction)
+    wcp = cells.shape[3]
+    if dxc.shape[3] > wcp:
+        dxc = dxc[:, :, :, :wcp, :]
+    elif dxc.shape[3] < wcp:
+        dxc = jnp.pad(dxc, ((0, 0),) * 3 + ((0, wcp - dxc.shape[3]), (0, 0)))
+    assert dxc.shape == cells.shape, (dxc.shape, cells.shape)
+
+    # dW: one dot_general per shift over the s2d operands (no re-layout),
+    # folded back onto the 27 taps via the tap table
+    nz = 2 if modes[0] == "v" else 3
+    xz = _zpad(cells, modes).astype(jnp.bfloat16)
+    dco, hco = gp.shape[1], gp.shape[2]
+    we = min(xz.shape[3] - 1, gp.shape[3])
+    dwq = []
+    for qz in range(nz):
+        for qy in range(2):
+            for qx in range(2):
+                xv = xz[:, qz:qz + dco, qy:qy + hco, qx:qx + we, :]
+                gv = gpb[:, :, :, :we, :]
+                dwq.append(jax.lax.dot_general(
+                    xv, gv, (((0, 1, 2, 3), (0, 1, 2, 3)), ((), ())),
+                    preferred_element_type=jnp.float32))
+    dwq = jnp.stack(dwq)                                  # (nq, 8cip, 8cop)
+    T = np.asarray(_tap_table(modes))                     # (nq, 8, 8)
+    onehot = jnp.asarray(
+        (T[..., None] == np.arange(27)).astype(np.float32))
+    dw = jnp.einsum("qpiao,qpat->tio",
+                    dwq.reshape(-1, 8, cip, 8, cop), onehot)
+    dk = dw.reshape(3, 3, 3, cip, cop)[:, :, :, :ci, :co]
+
+    return dxc.astype(cells.dtype), dk.astype(kernel.dtype), \
+        db.astype(jnp.float32)
+
+
+_s2d_conv.defvjp(_s2d_conv_fwd, _s2d_conv_bwd)
+
+
+def s2d_conv(s: S2d, kernel: jnp.ndarray, bias: jnp.ndarray,
+             act: str = "none", alpha: float = 0.01,
+             modes: Tuple[str, str, str] = ("v", "v", "v")) -> S2d:
+    """Fused (folded-BN) conv + bias + activation on an s2d tensor.
+
+    kernel: (3, 3, 3, C_in, C_out) float32; bias: (C_out,).
+    modes: per-axis 'v' (valid) or 's' (pad-1 SAME); even pads are applied
+    by the caller via :func:`s2d_cell_pad`.
+    """
+    d, h, w, c = s.logical
+    assert kernel.shape[3] == c, (kernel.shape, s.logical)
+    out = _s2d_conv(s.cells, kernel, bias, s.logical, tuple(modes), act,
+                    float(alpha))
+    do = d - 2 if modes[0] == "v" else d
+    return S2d(out, (do, h - 2, w - 2, int(kernel.shape[4])))
+
+
+# ---------------------------------------------------------------------------
+# Masked batch statistics (for BN folding)
+# ---------------------------------------------------------------------------
+
+def s2d_batch_stats(s: S2d) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel (mean, biased var) over the LOGICAL extent.  Exact
+    thanks to the zero invariant: sums over all slots equal sums over
+    valid voxels; the divisor is the true count."""
+    d, h, w, c = s.logical
+    b = s.cells.shape[0]
+    cp = s.cp
+    n = b * d * h * w
+    x8 = s.cells.reshape(s.cells.shape[:-1] + (8, cp)).astype(jnp.float32)
+    ssum = jnp.sum(x8, axis=(0, 1, 2, 3, 4))
+    ssq = jnp.sum(x8 * x8, axis=(0, 1, 2, 3, 4))
+    mean = ssum[:c] / n
+    var = ssq[:c] / n - mean * mean
+    return mean, jnp.maximum(var, 0.0)
+
+
+def fold_bn(kernel: jnp.ndarray, bias: jnp.ndarray, scale: jnp.ndarray,
+            shift: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold a per-input-channel affine (x*scale + shift) into (kernel,
+    bias): conv(x*s + t) = conv_{k*s}(x) + t @ sum_taps(k)."""
+    k2 = kernel * scale[None, None, None, :, None]
+    b2 = bias + jnp.einsum("zyxio,i->o", kernel, shift)
+    return k2, b2

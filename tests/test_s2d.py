@@ -1,0 +1,189 @@
+"""s2d-domain conv engine: forward/backward parity vs lax reference
+(interpret mode on CPU; the same kernels compile natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from stroke_prediction_tpu.ops.pallas.s2d import (
+    S2d, fold_bn, s2d_batch_stats, s2d_cell_pad, s2d_conv, s2d_crop_unpack,
+    s2d_pack, s2d_pool2, s2d_stride2, s2d_unpack)
+
+
+def _ref_conv(x, k, b, act="none", alpha=0.01, pads=(0, 0, 0),
+              dtype=jnp.bfloat16):
+    pads = [(0, 0)] + [(p, p) for p in pads] + [(0, 0)]
+    if any(p != (0, 0) for p in pads):
+        x = jnp.pad(x, pads)
+    y = lax.conv_general_dilated(
+        x.astype(dtype), k.astype(dtype), (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32) + b
+    if act == "leaky_relu":
+        y = jnp.where(y > 0, y, alpha * y)
+    elif act == "elu":
+        y = jnp.where(y > 0, y, alpha * (jnp.exp(y) - 1))
+    return y
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.rand(*shape) - 0.5, jnp.float32)
+
+
+class TestLayout:
+    def test_pack_unpack_roundtrip(self, rng):
+        x = _rand(rng, 2, 7, 9, 11, 3)
+        s = s2d_pack(x, dtype=jnp.float32)
+        assert s.cells.shape == (2, 4, 5, 8, 16 * 8)
+        assert s.logical == (7, 9, 11, 3)
+        np.testing.assert_array_equal(np.asarray(s2d_unpack(s)),
+                                      np.asarray(x))
+
+    def test_zero_invariant(self, rng):
+        s = s2d_pack(_rand(rng, 1, 5, 6, 9, 2), dtype=jnp.float32)
+        total = float(jnp.sum(jnp.abs(s.cells)))
+        valid = float(jnp.sum(jnp.abs(s2d_unpack(s))))
+        assert abs(total - valid) < 1e-5
+
+    def test_crop_unpack(self, rng):
+        x = _rand(rng, 2, 10, 12, 14, 4)
+        s = s2d_pack(x, dtype=jnp.float32)
+        got = s2d_crop_unpack(s, (3, 1, 5), (4, 7, 6))
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(x[:, 3:7, 1:8, 5:11, :]))
+
+    def test_cell_pad(self, rng):
+        x = _rand(rng, 1, 6, 8, 10, 3)
+        s = s2d_cell_pad(s2d_pack(x, dtype=jnp.float32), (0, 2, 2))
+        ref = jnp.pad(x, ((0, 0), (0, 0), (2, 2), (2, 2), (0, 0)))
+        assert s.logical == (6, 12, 14, 3)
+        np.testing.assert_array_equal(np.asarray(s2d_unpack(s)),
+                                      np.asarray(ref))
+
+    def test_pool2(self, rng):
+        x = _rand(rng, 2, 7, 9, 11, 5)
+        got = s2d_pool2(s2d_pack(x, dtype=jnp.float32))
+        ref = lax.reduce_window(x, -jnp.inf, lax.max,
+                                (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_stride2(self, rng):
+        x = _rand(rng, 1, 7, 8, 9, 3)
+        got = s2d_stride2(s2d_pack(x, dtype=jnp.float32))
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(x[:, ::2, ::2, ::2, :]))
+
+
+@pytest.mark.parametrize("shape,act,modes", [
+    ((2, 8, 10, 12, 4, 6), "leaky_relu", ("v", "v", "v")),
+    ((1, 7, 9, 11, 2, 16), "elu", ("v", "v", "v")),
+    ((2, 6, 8, 8, 16, 16), "none", ("v", "v", "v")),
+    ((1, 6, 9, 10, 3, 5), "elu", ("s", "v", "v")),
+])
+def test_s2d_conv_forward(rng, shape, act, modes):
+    b, d, h, w, ci, co = shape
+    x = _rand(rng, b, d, h, w, ci)
+    k = _rand(rng, 3, 3, 3, ci, co) * 0.2
+    bias = jnp.asarray(rng.rand(co), jnp.float32)
+    pads = (1, 0, 0) if modes[0] == "s" else (0, 0, 0)
+    ref = _ref_conv(x, k, bias, act, pads=pads)
+    out = s2d_conv(s2d_pack(x), k, bias, act=act, modes=modes)
+    assert out.logical == ref.shape[1:]
+    np.testing.assert_allclose(np.asarray(s2d_unpack(out)),
+                               np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_s2d_conv_even_pad(rng):
+    """Decoder-style pad-(1,2,2) conv: z mode 's' + HW cell pad."""
+    x = _rand(rng, 1, 5, 7, 9, 4)
+    k = _rand(rng, 3, 3, 3, 4, 6) * 0.2
+    bias = jnp.asarray(rng.rand(6), jnp.float32)
+    ref = _ref_conv(x, k, bias, "elu", pads=(1, 2, 2))
+    s = s2d_cell_pad(s2d_pack(x), (0, 2, 2))
+    out = s2d_conv(s, k, bias, act="elu", modes=("s", "v", "v"))
+    assert out.logical == ref.shape[1:]
+    np.testing.assert_allclose(np.asarray(s2d_unpack(out)),
+                               np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("modes", [("v", "v", "v"), ("s", "v", "v")])
+def test_s2d_conv_grads(rng, modes):
+    b, d, h, w, ci, co = 2, 6, 8, 9, 3, 4
+    x = _rand(rng, b, d, h, w, ci)
+    k = _rand(rng, 3, 3, 3, ci, co) * 0.3
+    bias = jnp.asarray(rng.rand(co), jnp.float32) * 0.1
+    pads = (1, 0, 0) if modes[0] == "s" else (0, 0, 0)
+    tgt = _rand(rng, 1)  # arbitrary scalarizer weights below
+
+    def loss_s2d(x, k, bias):
+        out = s2d_conv(s2d_pack(x), k, bias, act="leaky_relu", modes=modes)
+        y = s2d_unpack(out).astype(jnp.float32)
+        return jnp.sum(jnp.sin(y * 3) * (1.0 + tgt[0]))
+
+    def loss_ref(x, k, bias):
+        y = _ref_conv(x, k, bias, "leaky_relu", pads=pads,
+                      dtype=jnp.float32)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32) * 3) * (1.0 + tgt[0]))
+
+    g_s2d = jax.grad(loss_s2d, argnums=(0, 1, 2))(x, k, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, bias)
+    for got, ref, name in zip(g_s2d, g_ref, ("dx", "dk", "db")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=0.15, rtol=0.1,
+            err_msg=name)
+
+
+def test_s2d_chain_matches_lax(rng):
+    """Two chained convs + pool, forward and grads — the U-Net block
+    pattern, everything staying in the s2d domain."""
+    x = _rand(rng, 2, 10, 12, 14, 2)
+    k1 = _rand(rng, 3, 3, 3, 2, 6) * 0.3
+    k2 = _rand(rng, 3, 3, 3, 6, 6) * 0.3
+    b1 = jnp.zeros((6,))
+    b2 = jnp.zeros((6,))
+
+    def f_s2d(x, k1, k2):
+        s = s2d_pack(x)
+        s = s2d_conv(s, k1, b1, act="leaky_relu")
+        s = s2d_conv(s, k2, b2, act="leaky_relu")
+        return jnp.sum(s2d_pool2(s).astype(jnp.float32) ** 2)
+
+    def f_ref(x, k1, k2):
+        y = _ref_conv(x, k1, b1, "leaky_relu", dtype=jnp.float32)
+        y = _ref_conv(y, k2, b2, "leaky_relu", dtype=jnp.float32)
+        p = lax.reduce_window(y, -jnp.inf, lax.max,
+                              (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID")
+        return jnp.sum(p.astype(jnp.float32) ** 2)
+
+    v1, g1 = jax.value_and_grad(f_s2d, argnums=(1, 2))(x, k1, k2)
+    v2, g2 = jax.value_and_grad(f_ref, argnums=(1, 2))(x, k1, k2)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0.3, rtol=0.1)
+
+
+def test_batch_stats_and_fold(rng):
+    """Masked s2d batch stats match logical stats; BN fold is exact:
+    conv(x*s + t) == conv_{fold}(x)."""
+    x = _rand(rng, 2, 7, 9, 11, 4)
+    s = s2d_pack(x, dtype=jnp.float32)
+    mean, var = s2d_batch_stats(s)
+    np.testing.assert_allclose(np.asarray(mean),
+                               np.asarray(jnp.mean(x, (0, 1, 2, 3))),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var),
+                               np.asarray(jnp.var(x, (0, 1, 2, 3))),
+                               atol=1e-5)
+
+    k = _rand(rng, 3, 3, 3, 4, 5) * 0.3
+    bias = jnp.asarray(rng.rand(5), jnp.float32)
+    scale = jnp.asarray(rng.rand(4) + 0.5, jnp.float32)
+    shift = _rand(rng, 4)
+    k2, b2 = fold_bn(k, bias, scale, shift)
+    ref = _ref_conv(x * scale + shift, k, bias)
+    got = _ref_conv(x, k2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
