@@ -16,7 +16,20 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from stroke_prediction_tpu.ops.pallas.s2d import (
+    S2d, fold_bn, s2d_batch_stats, s2d_cell_pad, s2d_conv)
+
 Dtype = Any
+
+
+def conv_impl() -> str:
+    """Active conv implementation: 'pallas_s2d' (chained s2d-domain Pallas
+    kernels — the TPU default) or 'lax2d' (batch-merged 2-D lax convs —
+    the CPU/fallback default).  Override with STROKE_TPU_CONV_IMPL."""
+    v = os.environ.get("STROKE_TPU_CONV_IMPL", "auto")
+    if v == "auto":
+        return "pallas_s2d" if jax.default_backend() == "tpu" else "lax2d"
+    return v
 
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
@@ -73,13 +86,38 @@ class Conv3d(nn.Module):
     padding: Any = "VALID"
     compute_dtype: Dtype = jnp.float32
 
+    def _s2d_call(self, s: S2d, kernel, bias, scale, shift, act, act_param):
+        """Fused path on an s2d-domain tensor: fold the (optional) BN
+        affine into (kernel, bias), express the padding as conv modes
+        (odd z pad -> mode 's'; even H/W pads -> exact cell pads), one
+        Pallas kernel for conv+bias+activation."""
+        assert tuple(self.kernel_size) == (3, 3, 3), self.kernel_size
+        assert tuple(self.strides) == (1, 1, 1), self.strides
+        pads = ((0, 0, 0) if self.padding == "VALID"
+                else tuple(int(p) for p in self.padding))
+        assert pads[0] in (0, 1) and pads[1] % 2 == 0 and pads[2] % 2 == 0, \
+            self.padding
+        if scale is not None:
+            kernel, bias = fold_bn(kernel, bias, scale, shift)
+        if pads[1] or pads[2]:
+            s = s2d_cell_pad(s, (0, pads[1], pads[2]))
+        modes = ("s" if pads[0] else "v", "v", "v")
+        return s2d_conv(s, kernel, bias, act=act or "none",
+                        alpha=act_param, modes=modes)
+
     @nn.compact
-    def __call__(self, x):
-        in_ch = x.shape[-1]
+    def __call__(self, x, scale=None, shift=None, act: Optional[str] = None,
+                 act_param: float = 0.01):
+        in_ch = x.logical[3] if isinstance(x, S2d) else x.shape[-1]
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
         kernel = self.param("kernel", torch_conv_kernel_init, kshape)
         bias = self.param("bias", torch_conv_bias_init_for(kshape),
                           (self.features,))
+        if isinstance(x, S2d):
+            return self._s2d_call(x, kernel, bias, scale, shift, act,
+                                  act_param)
+        assert scale is None and act is None, \
+            "BN folding / fused activation require the s2d domain"
 
         cd = self.compute_dtype
         x = x.astype(cd)
@@ -147,6 +185,37 @@ class ConvTranspose3d(nn.Module):
         return conv(x)
 
 
+class _BNCore(nn.Module):
+    """BN parameters + running stats with flax nn.BatchNorm's exact tree
+    layout ({scale, bias} params, {mean, var} batch_stats).  Returns the
+    per-channel affine (s, t) such that bn(x) = x*s + t — the foldable
+    form (ops/pallas/s2d.py fold_bn)."""
+
+    features: int
+    momentum: float
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, stats, use_running_average: bool):
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones, (f,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((f,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = stats
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        s = scale * lax.rsqrt(var + self.epsilon)
+        return s, bias - mean * s
+
+
 class BatchNorm(nn.Module):
     """BatchNorm3d equivalent: normalizes over (B, D, H, W) per channel.
 
@@ -154,6 +223,11 @@ class BatchNorm(nn.Module):
     batch-sharded ``jit`` the batch statistics are global automatically (XLA
     inserts the cross-replica reductions); ``axis_name`` is exposed for
     explicit ``shard_map`` use.
+
+    Accepts a logical (B, D, H, W, C) array (returns the normalized array)
+    or an :class:`S2d` tensor with ``fold=True`` (returns the (s, t) affine
+    for BN folding into the following conv — masked statistics over the
+    logical extent are exact thanks to the s2d zero invariant).
     """
 
     use_running_average: bool = False
@@ -163,17 +237,33 @@ class BatchNorm(nn.Module):
     compute_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, use_running_average: Optional[bool] = None):
+    def __call__(self, x, use_running_average: Optional[bool] = None,
+                 fold: bool = False):
         ura = (self.use_running_average if use_running_average is None
                else use_running_average)
-        return nn.BatchNorm(
-            use_running_average=ura,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            axis_name=self.axis_name,
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        is_s2d = isinstance(x, S2d)
+        features = x.logical[3] if is_s2d else x.shape[-1]
+
+        stats = None
+        if not ura or self.is_initializing():
+            if is_s2d:
+                mean, var = s2d_batch_stats(x)
+            else:
+                xf = x.astype(jnp.float32)
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(xf, axes)
+                var = jnp.maximum(jnp.mean(xf * xf, axes) - mean * mean, 0.0)
+            if self.axis_name is not None:
+                mean = lax.pmean(mean, self.axis_name)
+                var = lax.pmean(var, self.axis_name)
+            stats = (mean, var)
+
+        s, t = _BNCore(features, self.momentum, self.epsilon,
+                       name="BatchNorm_0")(stats, ura)
+        if fold:
+            return s, t
+        cd = self.compute_dtype
+        return x.astype(cd) * s.astype(cd) + t.astype(cd)
 
 
 def leaky_relu(x, negative_slope=0.01):
@@ -199,9 +289,15 @@ class BnConvActBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = BatchNorm(axis_name=self.axis_name,
-                      compute_dtype=self.compute_dtype)(
-            x, use_running_average=not train)
+        bn = BatchNorm(axis_name=self.axis_name,
+                       compute_dtype=self.compute_dtype)
+        if isinstance(x, S2d):
+            # fused s2d path: BN folded into the conv, activation in-kernel
+            s, t = bn(x, use_running_average=not train, fold=True)
+            return Conv3d(self.features, self.kernel_size, self.strides,
+                          self.padding, compute_dtype=self.compute_dtype)(
+                x, scale=s, shift=t, act=self.act, act_param=self.act_param)
+        x = bn(x, use_running_average=not train)
         x = Conv3d(self.features, self.kernel_size, self.strides,
                    self.padding, compute_dtype=self.compute_dtype)(x)
         if self.act == "leaky_relu":

@@ -21,9 +21,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from stroke_prediction_tpu.models.layers import (
-    BnConvActBlock, Conv3d, leaky_relu)
+    BnConvActBlock, Conv3d, conv_impl, leaky_relu)
 from stroke_prediction_tpu.ops import (
     center_crop, max_pool3d, upsample2x_trilinear)
+from stroke_prediction_tpu.ops.pallas.s2d import (
+    s2d_center_crop, s2d_pack, s2d_pool2, s2d_unpack)
 
 
 def unet_output_spatial(spatial: Sequence[int],
@@ -79,18 +81,36 @@ class Unet3D(nn.Module):
         _, b1, b2, b3, b4, b5, b_c, n_classes = self.channels
         kw = dict(axis_name=self.axis_name, compute_dtype=self.compute_dtype)
 
-        r1 = UnetBlock(b1, **kw)(x, train)
-        r2 = UnetBlock(b2, **kw)(max_pool3d(r1), train)
-        r3 = UnetBlock(b3, **kw)(max_pool3d(r2), train)
+        if conv_impl() == "pallas_s2d":
+            # chained s2d-domain path: each scale enters the cell layout
+            # once, its two fused BN+conv+act kernels chain with no
+            # re-layout, pooling is a free channel-group max, and the skip
+            # crops exit through the covering cells only
+            cd = self.compute_dtype
+            r1 = UnetBlock(b1, **kw)(s2d_pack(x.astype(cd)), train)
+            r2 = UnetBlock(b2, **kw)(s2d_pack(s2d_pool2(r1)), train)
+            r3 = UnetBlock(b3, **kw)(s2d_pack(s2d_pool2(r2)), train)
 
-        u3 = upsample2x_trilinear(r3)
-        r4 = UnetBlock(b4, **kw)(
-            jnp.concatenate([u3, center_crop(r2, u3.shape[1:4])], axis=-1),
-            train)
-        u4 = upsample2x_trilinear(r4)
-        r5 = UnetBlock(b5, **kw)(
-            jnp.concatenate([u4, center_crop(r1, u4.shape[1:4])], axis=-1),
-            train)
+            u3 = upsample2x_trilinear(s2d_unpack(r3))
+            r4 = UnetBlock(b4, **kw)(s2d_pack(jnp.concatenate(
+                [u3, s2d_center_crop(r2, u3.shape[1:4])], axis=-1)), train)
+            u4 = upsample2x_trilinear(s2d_unpack(r4))
+            r5 = UnetBlock(b5, **kw)(s2d_pack(jnp.concatenate(
+                [u4, s2d_center_crop(r1, u4.shape[1:4])], axis=-1)), train)
+            r5 = s2d_unpack(r5)
+        else:
+            r1 = UnetBlock(b1, **kw)(x, train)
+            r2 = UnetBlock(b2, **kw)(max_pool3d(r1), train)
+            r3 = UnetBlock(b3, **kw)(max_pool3d(r2), train)
+
+            u3 = upsample2x_trilinear(r3)
+            r4 = UnetBlock(b4, **kw)(
+                jnp.concatenate([u3, center_crop(r2, u3.shape[1:4])],
+                                axis=-1), train)
+            u4 = upsample2x_trilinear(r4)
+            r5 = UnetBlock(b5, **kw)(
+                jnp.concatenate([u4, center_crop(r1, u4.shape[1:4])],
+                                axis=-1), train)
 
         h = Conv3d(b_c, (1, 1, 1), compute_dtype=self.compute_dtype)(r5)
         h = leaky_relu(h, 0.01)

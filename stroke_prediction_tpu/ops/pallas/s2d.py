@@ -149,6 +149,14 @@ def s2d_crop_unpack(s: S2d, start: Sequence[int],
     return y[:, oz:oz + sd, oy:oy + sh, ox:ox + sw, :c]
 
 
+def s2d_center_crop(s: S2d, target_dhw: Sequence[int]) -> jnp.ndarray:
+    """Center-crop exit (the U-Net's skip connections, reference
+    Unet3D.py:6-11): reads only the covering cells — never materializes
+    the full-resolution tensor."""
+    start = [(cur - t) // 2 for cur, t in zip(s.logical[:3], target_dhw)]
+    return s2d_crop_unpack(s, start, target_dhw)
+
+
 def s2d_cell_pad(s: S2d, pads_dhw: Sequence[int]) -> S2d:
     """Symmetric logical zero-pad: ``pads_dhw`` is the EVEN per-side pad
     per axis (torch ``padding=p`` adds p on both sides), applied as exact
