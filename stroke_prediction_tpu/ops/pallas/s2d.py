@@ -79,18 +79,15 @@ def _cells(n: int) -> int:
 class S2d(NamedTuple):
     """A logical (B, D, H, W, C) tensor in 2x2x2 space-to-depth cell layout.
 
-    cells: (B, Dc, Hc, Wc, 8*Cp) with parity-major channels (pd, ph, pw, c),
-    Dc = ceil(D/2), Hc = ceil(H/2), Wc >= ceil(W/2) (multiple of 8),
-    Cp = C rounded up to a multiple of 16 (so 8*Cp is a lane multiple of
-    128).  All slots outside the logical extent are zero.
+    cells: (B, Dc, Hc, Wc, L) with the first 8*C lanes holding the
+    parity-major channels (pd, ph, pw, c) over the REAL channel count and
+    the rest zero lane padding (L = 8*C rounded up to a multiple of 128).
+    Dc = ceil(D/2), Hc = ceil(H/2), Wc >= ceil(W/2) (multiple of 8).
+    All slots outside the logical extent are zero.
     """
 
     cells: jnp.ndarray
     logical: Tuple[int, int, int, int]   # (D, H, W, C) — static
-
-    @property
-    def cp(self) -> int:
-        return self.cells.shape[-1] // 8
 
 
 jax.tree_util.register_pytree_node(
@@ -100,26 +97,30 @@ jax.tree_util.register_pytree_node(
 
 
 def s2d_pack(x: jnp.ndarray, dtype=jnp.bfloat16) -> S2d:
-    """(B, D, H, W, C) -> S2d.  Zero-pads odd spatial dims, the W cell grid
-    to a multiple of 8, and channels to a multiple of 16 (zero invariant).
+    """(B, D, H, W, C) -> S2d.  Zero-pads odd spatial dims and the W cell
+    grid to a multiple of 8; the interleave runs at the REAL channel
+    width (lane padding to a 128 multiple happens last, as a cheap
+    bandwidth-bound pad instead of an 8x-inflated transpose).
 
     Decomposed per axis (W interleave is a free reshape; H and D are
     single-axis interleaves) — measured ~2.5x faster than the naive 8-way
     transpose on TPU.
     """
     b, d, h, w, c = x.shape
-    cp = _round_up(max(c, 16), 16)
     wc = _round_up(_cells(w), 8)
     x = x.astype(dtype)
-    pads = ((0, 0), (0, d % 2), (0, h % 2), (0, 2 * wc - w), (0, cp - c))
+    pads = ((0, 0), (0, d % 2), (0, h % 2), (0, 2 * wc - w), (0, 0))
     if any(p != (0, 0) for p in pads):
         x = jnp.pad(x, pads)
     dc, hc = x.shape[1] // 2, x.shape[2] // 2
-    y = x.reshape(b, 2 * dc, 2 * hc, wc, 2 * cp)             # (pw, c): free
-    y = y.reshape(b, 2 * dc, hc, 2, wc, 2 * cp)
-    y = y.swapaxes(3, 4).reshape(b, 2 * dc, hc, wc, 4 * cp)  # (ph, pw, c)
-    y = y.reshape(b, dc, 2, hc, wc, 4 * cp)
-    y = jnp.moveaxis(y, 2, 4).reshape(b, dc, hc, wc, 8 * cp)
+    y = x.reshape(b, 2 * dc, 2 * hc, wc, 2 * c)             # (pw, c): free
+    y = y.reshape(b, 2 * dc, hc, 2, wc, 2 * c)
+    y = y.swapaxes(3, 4).reshape(b, 2 * dc, hc, wc, 4 * c)  # (ph, pw, c)
+    y = y.reshape(b, dc, 2, hc, wc, 4 * c)
+    y = jnp.moveaxis(y, 2, 4).reshape(b, dc, hc, wc, 8 * c)
+    lanes = _round_up(8 * c, 128)
+    if lanes != 8 * c:
+        y = jnp.pad(y, ((0, 0),) * 4 + ((0, lanes - 8 * c),))
     return S2d(y, (d, h, w, c))
 
 
@@ -137,16 +138,15 @@ def s2d_crop_unpack(s: S2d, start: Sequence[int],
     c = s.logical[3]
     z0, y0, x0 = zd // 2, yd // 2, xd // 2
     z1, y1, x1 = _cells(zd + sd), _cells(yd + sh), _cells(xd + sw)
-    cells = s.cells[:, z0:z1, y0:y1, x0:x1, :]
-    b, dc, hc, wc, c8 = cells.shape
-    cp = c8 // 8
-    y = cells.reshape(b, dc, hc, wc, 2, 4 * cp)
-    y = jnp.moveaxis(y, 4, 2).reshape(b, 2 * dc, hc, wc, 4 * cp)
-    y = y.reshape(b, 2 * dc, hc, wc, 2, 2 * cp)
-    y = y.swapaxes(3, 4).reshape(b, 2 * dc, 2 * hc, wc, 2 * cp)
-    y = y.reshape(b, 2 * dc, 2 * hc, 2 * wc, cp)
+    cells = s.cells[:, z0:z1, y0:y1, x0:x1, :8 * c]
+    b, dc, hc, wc, _ = cells.shape
+    y = cells.reshape(b, dc, hc, wc, 2, 4 * c)
+    y = jnp.moveaxis(y, 4, 2).reshape(b, 2 * dc, hc, wc, 4 * c)
+    y = y.reshape(b, 2 * dc, hc, wc, 2, 2 * c)
+    y = y.swapaxes(3, 4).reshape(b, 2 * dc, 2 * hc, wc, 2 * c)
+    y = y.reshape(b, 2 * dc, 2 * hc, 2 * wc, c)
     oz, oy, ox = zd - 2 * z0, yd - 2 * y0, xd - 2 * x0
-    return y[:, oz:oz + sd, oy:oy + sh, ox:ox + sw, :c]
+    return y[:, oz:oz + sd, oy:oy + sh, ox:ox + sw, :]
 
 
 def s2d_center_crop(s: S2d, target_dhw: Sequence[int]) -> jnp.ndarray:
@@ -178,13 +178,12 @@ def s2d_pool2(s: S2d) -> jnp.ndarray:
     logical (B, D//2, H//2, W//2, C) tensor (reference: torch
     max_pool3d(x, 2), common/model/Unet3D.py:56-60)."""
     d, h, w, c = s.logical
-    b, dc, hc, wc, c8 = s.cells.shape
-    cp = c8 // 8
+    b, dc, hc, wc, _ = s.cells.shape
     # floor semantics: a partially-valid cell is never kept, so the kept
     # cells' 8 parity slots are exactly the 2x2x2 pool window — no masking
-    y = s.cells.reshape(b, dc, hc, wc, 8, cp)
+    y = s.cells[..., :8 * c].reshape(b, dc, hc, wc, 8, c)
     out = jnp.max(y, axis=4)
-    return out[:, :d // 2, :h // 2, :w // 2, :c]
+    return out[:, :d // 2, :h // 2, :w // 2, :]
 
 
 def s2d_stride2(s: S2d) -> jnp.ndarray:
@@ -273,16 +272,31 @@ def _conv_kernel(*refs, nz: int, hco: int, wcp: int, c8: int, act: str,
     do, ho, wo = out_logical
     co8 = w_ref.shape[-1]
 
-    acc = None
+    # im2col by 128-aligned lane concat of tap-view GROUPS, one deep-K
+    # matmul per group: trades concat relayout against MXU K-depth
+    # (a single K=c8 product streams only 128 deep)
+    views = []
     for zi in range(nz):
         base = x_refs[zi][0, 0]                       # (hci, wcp, c8)
-        for qx in range(2):
-            xv = base if qx == 0 else _roll_w(base, interpret)
-            for qy in range(2):
-                rows = xv[qy:qy + hco].reshape(hco * wcp, c8)
-                part = jnp.dot(rows, w_ref[(zi * 2 + qy) * 2 + qx],
-                               preferred_element_type=jnp.float32)
-                acc = part if acc is None else acc + part
+        rolled = _roll_w(base, interpret)
+        for qy in range(2):
+            views.append(base[qy:qy + hco])
+            views.append(rolled[qy:qy + hco])
+    nq = nz * 4
+    gsz = int(os.environ.get("STROKE_TPU_S2D_GROUP", "1"))
+    gsz = max(1, min(gsz, nq))
+    acc = None
+    wfull = w_ref[:].reshape(nq * c8, co8)
+    for g0 in range(0, nq, gsz):
+        g1 = min(g0 + gsz, nq)
+        if g1 - g0 == 1:
+            rows = views[g0].reshape(hco * wcp, c8)
+        else:
+            rows = jnp.concatenate(views[g0:g1], axis=-1).reshape(
+                hco * wcp, (g1 - g0) * c8)
+        part = jnp.dot(rows, wfull[g0 * c8:g1 * c8],
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
 
     y = _act(acc + b_ref[:], act, alpha)
 
@@ -303,13 +317,13 @@ def _conv_kernel(*refs, nz: int, hco: int, wcp: int, c8: int, act: str,
 
 @functools.partial(
     jax.jit, static_argnames=("modes", "act", "alpha", "in_logical",
-                              "out_dtype", "interpret"))
+                              "cout", "out_dtype", "interpret"))
 def _s2d_conv_p(cells, wmats, brow, *, modes, act, alpha, in_logical,
-                out_dtype, interpret):
-    """Pallas conv on s2d cells.  cells: (B, Dci, Hci, Wcp, 8*Cip)
+                cout, out_dtype, interpret):
+    """Pallas conv on s2d cells.  cells: (B, Dci, Hci, Wcp, L_in)
     (z-cell-padded by (1,1) already if modes[0] == 's');
-    wmats: (nq, 8*Cip, 8*Cop); brow: (1, 8*Cop).
-    Returns output cells (B, Dco, Hco, Wcp, 8*Cop)."""
+    wmats: (nq, L_in, L_out); brow: (1, L_out); cout: real C_out.
+    Returns output cells (B, Dco, Hco, Wcp, L_out)."""
     d, h, w, _ = in_logical
     do = d - 2 if modes[0] == "v" else d
     ho, wo = h - 2, w - 2
@@ -323,7 +337,7 @@ def _s2d_conv_p(cells, wmats, brow, *, modes, act, alpha, in_logical,
     kern = functools.partial(
         _conv_kernel, nz=nz, hco=hco, wcp=wcp, c8=c8, act=act, alpha=alpha,
         out_dtype=out_dtype, out_logical=(do, ho, wo),
-        cout_real=co8 // 8, interpret=interpret)
+        cout_real=cout, interpret=interpret)
 
     def xspec(qz):
         return pl.BlockSpec((1, 1, hci, wcp, c8),
@@ -349,6 +363,127 @@ def _s2d_conv_p(cells, wmats, brow, *, modes, act, alpha, in_logical,
 
 
 # ---------------------------------------------------------------------------
+# Fused backward kernel: dx + dW in one pass
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(*refs, nz: int, hco: int, hci: int, wpi: int, wcx: int,
+                c8: int, co8: int, dco: int, dx_logical, cin_real: int,
+                interpret: bool):
+    """One grid step (b, d): the dx block at z-cell d (dual conv over the
+    cell-padded cotangent) AND this step's dW contribution (g-cell d x
+    the forward tap views), accumulated into a VMEM-resident block.
+    Sharing the pass means the cotangent is DMA'd once and the dW
+    matmuls stream at the same rate as the forward's."""
+    g_refs = refs[:nz]
+    x_refs = refs[nz:2 * nz]
+    wd_ref = refs[2 * nz]
+    dx_ref, dw_ref = refs[2 * nz + 1], refs[2 * nz + 2]
+    bi, d = pl.program_id(0), pl.program_id(1)
+
+    # ---- dx: the dual conv on the gpad views (same shape as forward)
+    acc = None
+    for zi in range(nz):
+        base = g_refs[zi][0, 0]                      # (hpi, wpi, co8)
+        rolled = _roll_w(base, interpret)
+        for qy in range(2):
+            for qx, xv in ((0, base), (1, rolled)):
+                rows = xv[qy:qy + hci].reshape(hci * wpi, co8)
+                part = jnp.dot(rows, wd_ref[(zi * 2 + qy) * 2 + qx],
+                               preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+    y = acc.reshape(hci, wpi, c8)
+    di, hi, wi = dx_logical                          # forward INPUT extent
+    cid = jax.lax.broadcasted_iota(jnp.int32, (hci, wpi, c8), 2)
+    hid = jax.lax.broadcasted_iota(jnp.int32, (hci, wpi, c8), 0)
+    wid = jax.lax.broadcasted_iota(jnp.int32, (hci, wpi, c8), 1)
+    pz = (cid // (4 * cin_real)) % 2
+    py = (cid // (2 * cin_real)) % 2
+    px = (cid // cin_real) % 2
+    ok = ((2 * d + pz < di) & (2 * hid + py < hi) & (2 * wid + px < wi)
+          & (cid < 8 * cin_real))
+    dx_ref[:] = jnp.where(ok, y, 0.0).reshape(
+        1, 1, hci, wpi, c8).astype(dx_ref.dtype)
+
+    # ---- dW: g-cell d (= gpad view qz=1, H/W front-shifted) x tap views
+    @pl.when(jnp.logical_and(bi == 0, d == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    @pl.when(d < dco)
+    def _():
+        gblk = g_refs[1][0, 0]                       # gpad[d+1] = g cell d
+        grows = _roll_w(gblk, interpret)[1:1 + hco, :wcx, :]
+        grows = grows.reshape(hco * wcx, co8)
+        for zi in range(nz):
+            base = x_refs[zi][0, 0]                  # (hci, wcx, c8)
+            rolled = _roll_w(base, interpret)
+            for qy in range(2):
+                for qx, xv in ((0, base), (1, rolled)):
+                    rows = xv[qy:qy + hco].reshape(hco * wcx, c8)
+                    qi = (zi * 2 + qy) * 2 + qx
+                    dw_ref[qi] += jax.lax.dot_general(
+                        rows, grows, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("modes", "in_logical", "cin", "interpret"))
+def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret):
+    """Fused dx+dW pallas pass.  gpad: cell-padded masked cotangent
+    (B, dzo+2*, hpo+2, wpi, co8) (* z already padded per mode); xz: the
+    (z-padded for 's') forward input cells (B, dzi*, hci, wcx, c8);
+    wd: dual superpatch weights (nq, co8, c8).
+    Returns (dx_cells (B, dzi, hci, wpi, c8), dwq (nq, c8, co8) f32)."""
+    d, h, w, _ = in_logical
+    dzi, hci = _cells(d), _cells(h)
+    do = d - 2 if modes[0] == "v" else d
+    dco = _cells(do)
+    b, _, hpi, wpi, co8 = gpad.shape
+    _, _, _, wcx, c8 = xz.shape
+    nz = 2 if modes[0] == "v" else 3
+    nq = nz * 4
+    assert wd.shape[0] == nq, (wd.shape, nq)
+    wce = min(wcx, wpi)
+
+    kern = functools.partial(
+        _bwd_kernel, nz=nz, hco=hci - 1, hci=hci, wpi=wpi, wcx=wce,
+        c8=c8, co8=co8, dco=dco, dx_logical=(d, h, w), cin_real=cin,
+        interpret=interpret)
+
+    def gspec(qz):
+        return pl.BlockSpec((1, 1, hpi, wpi, co8),
+                            lambda b, d, qz=qz: (b, d + qz, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dzx = xz.shape[1]
+
+    def xspec(qz):
+        return pl.BlockSpec(
+            (1, 1, hci, wcx, c8),
+            lambda b, d, qz=qz: (b, jnp.minimum(d + qz, dzx - 1), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    dx, dwq = pl.pallas_call(
+        kern,
+        grid=(b, dzi),
+        in_specs=[gspec(qz) for qz in range(nz)]
+        + [xspec(qz) for qz in range(nz)] + [
+            pl.BlockSpec((nq, co8, c8), lambda b, d: (0, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, 1, hci, wpi, c8), lambda b, d: (b, d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, c8, co8), lambda b, d: (0, 0, 0),
+                         memory_space=pltpu.VMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, dzi, hci, wpi, c8), jnp.bfloat16),
+            jax.ShapeDtypeStruct((nq, c8, co8), jnp.float32)),
+        interpret=interpret,
+    )(*([gpad] * nz), *([xz] * nz), wd)
+    return dx, dwq
+
+
+# ---------------------------------------------------------------------------
 # Differentiable s2d conv
 # ---------------------------------------------------------------------------
 
@@ -357,17 +492,15 @@ def _interpret_default() -> bool:
 
 
 def _prep(cells, kernel, bias, modes):
-    """Channel-pad kernel/bias to the cells' padded channel counts and
-    build the superpatch operands."""
-    cip = cells.shape[-1] // 8
+    """Build the superpatch operands, row/column-padded to the lane
+    layout (real parity-major channels first, zero lanes after)."""
+    c8 = cells.shape[-1]
     ci, co = kernel.shape[3], kernel.shape[4]
-    cop = _round_up(max(co, 16), 16)
-    kernel = jnp.pad(kernel.astype(jnp.float32),
-                     ((0, 0),) * 3 + ((0, cip - ci), (0, cop - co)))
-    bias = jnp.pad(bias.astype(jnp.float32), (0, cop - co))
+    co8 = _round_up(8 * co, 128)
     wmats = superpatch_weights(kernel.astype(jnp.bfloat16), modes)
-    brow = jnp.tile(bias, 8).reshape(1, 8 * cop)
-    return wmats, brow, cop
+    wmats = jnp.pad(wmats, ((0, 0), (0, c8 - 8 * ci), (0, co8 - 8 * co)))
+    brow = jnp.pad(jnp.tile(bias.astype(jnp.float32), 8), (0, co8 - 8 * co))
+    return wmats, brow.reshape(1, co8), co8
 
 
 def _zpad(cells, modes):
@@ -382,7 +515,8 @@ def _s2d_conv(cells, kernel, bias, in_logical, modes, act, alpha):
     wmats, brow, _ = _prep(cells, kernel, bias, modes)
     return _s2d_conv_p(_zpad(cells, modes), wmats, brow, modes=modes,
                        act=act, alpha=alpha, in_logical=in_logical,
-                       out_dtype=cells.dtype, interpret=interpret)
+                       cout=int(kernel.shape[4]), out_dtype=cells.dtype,
+                       interpret=interpret)
 
 
 def _s2d_conv_fwd(cells, kernel, bias, in_logical, modes, act, alpha):
@@ -412,44 +546,42 @@ def _s2d_conv_bwd(in_logical, modes, act, alpha, res, g):
     do = d - 2 if modes[0] == "v" else d
     ho, wo = h - 2, w - 2
     ci, co = kernel.shape[3], kernel.shape[4]
-    cip = cells.shape[-1] // 8
-    cop = y.shape[-1] // 8
+    c8, co8 = cells.shape[-1], y.shape[-1]
     interpret = _interpret_default()
 
     # activation gradient from the output; mask the cotangent so garbage
-    # slots (whose forward value is the constant 0) contribute nothing
-    ok = _out_mask(y.shape, (do, ho, wo), cop, y.dtype)
-    yf = y.astype(jnp.float32)
+    # slots (whose forward value is the constant 0) contribute nothing;
+    # all in bf16 — one bandwidth-bound pass
+    ok = _out_mask(y.shape, (do, ho, wo), co, y.dtype)
+    one = jnp.asarray(1.0, jnp.bfloat16)
     if act == "leaky_relu":
-        dact = jnp.where(yf > 0, 1.0, alpha)
+        dact = jnp.where(y > 0, one, jnp.asarray(alpha, jnp.bfloat16))
     elif act == "elu":
-        dact = jnp.where(yf > 0, 1.0, yf + alpha)
+        dact = jnp.where(y > 0, one,
+                         y.astype(jnp.bfloat16) + jnp.asarray(
+                             alpha, jnp.bfloat16))
     else:
-        dact = jnp.ones_like(yf)
-    gp = jnp.where(ok, g.astype(jnp.float32) * dact, 0.0)
+        dact = one
+    gpb = jnp.where(ok, g.astype(jnp.bfloat16) * dact, 0)
 
     # d(bias): sum over all valid voxels, folding the 8 output parities
-    gp8 = gp.reshape(gp.shape[:-1] + (8, cop))
-    db = jnp.sum(gp8, axis=(0, 1, 2, 3, 4), dtype=jnp.float32)[:co]
+    gp8 = gpb[..., :8 * co].reshape(gpb.shape[:-1] + (8, co))
+    db = jnp.sum(gp8, axis=(0, 1, 2, 3, 4), dtype=jnp.float32)
 
-    gpb = gp.astype(jnp.bfloat16)
-
-    # dx: full correlation = the SAME kernel on the cell-padded cotangent
-    # with the flipped, ci<->co transposed weights; 's' axes self-pad
+    # dx + dW in ONE fused pallas pass: dx is the dual conv (flipped,
+    # ci<->co transposed weights) over the cell-padded cotangent; dW
+    # accumulates (tap view x cotangent) per grid step in VMEM
     kd = jnp.swapaxes(jnp.flip(kernel, (0, 1, 2)), 3, 4)   # (3,3,3,co,ci)
-    kd = jnp.pad(kd.astype(jnp.float32),
-                 ((0, 0),) * 3 + ((0, cop - co), (0, cip - ci)))
     wd = superpatch_weights(kd.astype(jnp.bfloat16), modes)
-    zb = jnp.zeros((1, 8 * cip), jnp.float32)
+    wd = jnp.pad(wd, ((0, 0), (0, co8 - 8 * co), (0, c8 - 8 * ci)))
     zpad = (0, 0) if modes[0] == "s" else (1, 1)
     gpad = jnp.pad(gpb, ((0, 0), zpad, (1, 1), (1, 0), (0, 0)))
     wcp_dx = _round_up(gpad.shape[3], 8)
     gpad = jnp.pad(gpad, ((0, 0),) * 3 + ((0, wcp_dx - gpad.shape[3]),
                                           (0, 0)))
-    glog = (do + (4 if modes[0] == "v" else 0), ho + 4, wo + 4, co)
-    dxc = _s2d_conv_p(_zpad(gpad, modes), wd, zb, modes=modes, act="none",
-                      alpha=0.0, in_logical=glog, out_dtype=jnp.bfloat16,
-                      interpret=interpret)
+    dxc, dwq = _s2d_conv_bwd_p(
+        _zpad(gpad, modes), _zpad(cells, modes), wd, modes=modes,
+        in_logical=in_logical, cin=ci, interpret=interpret)
     # physical grid of dx == grid of cells (z/h exact; w by construction)
     wcp = cells.shape[3]
     if dxc.shape[3] > wcp:
@@ -458,28 +590,14 @@ def _s2d_conv_bwd(in_logical, modes, act, alpha, res, g):
         dxc = jnp.pad(dxc, ((0, 0),) * 3 + ((0, wcp - dxc.shape[3]), (0, 0)))
     assert dxc.shape == cells.shape, (dxc.shape, cells.shape)
 
-    # dW: one dot_general per shift over the s2d operands (no re-layout),
-    # folded back onto the 27 taps via the tap table
-    nz = 2 if modes[0] == "v" else 3
-    xz = _zpad(cells, modes).astype(jnp.bfloat16)
-    dco, hco = gp.shape[1], gp.shape[2]
-    we = min(xz.shape[3] - 1, gp.shape[3])
-    dwq = []
-    for qz in range(nz):
-        for qy in range(2):
-            for qx in range(2):
-                xv = xz[:, qz:qz + dco, qy:qy + hco, qx:qx + we, :]
-                gv = gpb[:, :, :, :we, :]
-                dwq.append(jax.lax.dot_general(
-                    xv, gv, (((0, 1, 2, 3), (0, 1, 2, 3)), ((), ())),
-                    preferred_element_type=jnp.float32))
-    dwq = jnp.stack(dwq)                                  # (nq, 8cip, 8cop)
+    # fold the per-shift dW back onto the 27 taps via the tap table
     T = np.asarray(_tap_table(modes))                     # (nq, 8, 8)
     onehot = jnp.asarray(
         (T[..., None] == np.arange(27)).astype(np.float32))
+    dwq = dwq[:, :8 * ci, :8 * co]
     dw = jnp.einsum("qpiao,qpat->tio",
-                    dwq.reshape(-1, 8, cip, 8, cop), onehot)
-    dk = dw.reshape(3, 3, 3, cip, cop)[:, :, :, :ci, :co]
+                    dwq.reshape(-1, 8, ci, 8, co), onehot)
+    dk = dw.reshape(3, 3, 3, ci, co)
 
     return dxc.astype(cells.dtype), dk.astype(kernel.dtype), \
         db.astype(jnp.float32)
@@ -515,13 +633,13 @@ def s2d_batch_stats(s: S2d) -> Tuple[jnp.ndarray, jnp.ndarray]:
     valid voxels; the divisor is the true count."""
     d, h, w, c = s.logical
     b = s.cells.shape[0]
-    cp = s.cp
     n = b * d * h * w
-    x8 = s.cells.reshape(s.cells.shape[:-1] + (8, cp)).astype(jnp.float32)
+    x8 = s.cells[..., :8 * c].reshape(
+        s.cells.shape[:-1] + (8, c)).astype(jnp.float32)
     ssum = jnp.sum(x8, axis=(0, 1, 2, 3, 4))
     ssq = jnp.sum(x8 * x8, axis=(0, 1, 2, 3, 4))
-    mean = ssum[:c] / n
-    var = ssq[:c] / n - mean * mean
+    mean = ssum / n
+    var = ssq / n - mean * mean
     return mean, jnp.maximum(var, 0.0)
 
 

@@ -120,12 +120,12 @@ def test_s2d_conv_grads(rng, modes):
     def loss_s2d(x, k, bias):
         out = s2d_conv(s2d_pack(x), k, bias, act="leaky_relu", modes=modes)
         y = s2d_unpack(out).astype(jnp.float32)
-        return jnp.sum(jnp.sin(y * 3) * (1.0 + tgt[0]))
+        return jnp.sum((y + 0.3) ** 2 * (1.0 + tgt[0]))
 
     def loss_ref(x, k, bias):
         y = _ref_conv(x, k, bias, "leaky_relu", pads=pads,
-                      dtype=jnp.float32)
-        return jnp.sum(jnp.sin(y.astype(jnp.float32) * 3) * (1.0 + tgt[0]))
+                      dtype=jnp.float32).astype(jnp.float32)
+        return jnp.sum((y + 0.3) ** 2 * (1.0 + tgt[0]))
 
     g_s2d = jax.grad(loss_s2d, argnums=(0, 1, 2))(x, k, bias)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, bias)
