@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from stroke_prediction_tpu.core.dto import (
     BRANCH_GTRUTH, CaeBranches, CaeDto)
 from stroke_prediction_tpu.models.layers import (
-    BnConvActBlock, BatchNorm, Conv3d, ConvTranspose3d, elu)
+    BnConvActBlock, BatchNorm, Conv3d, ConvTranspose3d, conv_impl, elu)
+from stroke_prediction_tpu.ops.pallas.s2d import s2d_pack, s2d_unpack
 
 
 def cae_latent_spatial(spatial: Tuple[int, int, int]) -> Tuple[int, int, int]:
@@ -74,13 +75,26 @@ class EncoderStack(nn.Module):
         kw = dict(act="elu", act_param=self.alpha, axis_name=self.axis_name,
                   compute_dtype=self.compute_dtype)
         zpad = (1, 0, 0)      # z-only padding: (pad_d, pad_h, pad_w)
+        s2d = conv_impl() == "pallas_s2d"
+        if s2d:
+            # chained s2d path: each between-strides pair runs as fused
+            # z-SAME Pallas convs; the stride-2 convs are cell-window
+            # einsums that exit to the (half-res) logical layout, which
+            # re-enters the cell layout for the next pair.  The final
+            # d8->fc layer stays logical (its channel count feeds the
+            # MXU fine and its superpatch weights would not fit VMEM).
+            x = s2d_pack(x.astype(self.compute_dtype))
 
         x = BnConvActBlock(origin, padding=zpad, **kw)(x, train)
         x = BnConvActBlock(origin, padding=zpad, **kw)(x, train)
         x = BnConvActBlock(d2, strides=(2, 2, 2), padding=(1, 1, 1), **kw)(x, train)
+        if s2d:
+            x = s2d_pack(x)
         x = BnConvActBlock(d2, padding=zpad, **kw)(x, train)
         x = BnConvActBlock(d2, padding=zpad, **kw)(x, train)
         x = BnConvActBlock(d4, strides=(2, 2, 2), padding=(1, 1, 1), **kw)(x, train)
+        if s2d:
+            x = s2d_pack(x)
         x = BnConvActBlock(d4, padding=zpad, **kw)(x, train)
         x = BnConvActBlock(d4, padding=zpad, **kw)(x, train)
         x = BnConvActBlock(d8, strides=(2, 2, 2), padding="VALID", **kw)(x, train)
@@ -231,33 +245,70 @@ class DecoderStack(nn.Module):
         _, origin, d2, d4, d8, fc = self.channels[:6]
         n_classes = self.channels[-1]
         a = self.alpha
+        ura = not train
         bn = lambda: BatchNorm(axis_name=self.axis_name,
                                compute_dtype=self.compute_dtype)
         cdt = self.compute_dtype
 
-        x = bn()(x, use_running_average=not train)
+        if conv_impl() == "pallas_s2d":
+            # chained s2d path: stride-2 transposed convs emit cells
+            # directly (no re-layout of the upsampled tensor), the
+            # pad-(1,2,2) convs and both 1^3 head convs run as fused
+            # folded-BN kernels in-domain; the only logical interludes
+            # are at the LOW-resolution inputs of each upsampling stage
+            def fused(feat, ksz, s):
+                sc, sh = bn()(s, ura, fold=True)
+                pad = (1, 2, 2) if ksz == 3 else "VALID"
+                return Conv3d(feat, (ksz,) * 3, padding=pad,
+                              compute_dtype=cdt)(
+                    s, scale=sc, shift=sh, act="elu", act_param=a)
+
+            x = bn()(x, ura)
+            x = elu(ConvTranspose3d(d8, (3, 3, 3), (1, 1, 1), cdt)(x), a)
+            x = bn()(x, ura)
+            s = ConvTranspose3d(d4, (3, 3, 3), (2, 2, 2), cdt)(
+                x, to_s2d=True, act="elu", act_param=a)
+            s = fused(d4, 3, s)
+            s = fused(d2, 3, s)
+            x = bn()(s2d_unpack(s), ura)
+            s = ConvTranspose3d(d2, (2, 2, 2), (2, 2, 2), cdt)(
+                x, to_s2d=True, act="elu", act_param=a)
+            s = fused(d2, 3, s)
+            s = fused(origin, 3, s)
+            x = bn()(s2d_unpack(s), ura)
+            s = ConvTranspose3d(origin, (2, 2, 2), (2, 2, 2), cdt)(
+                x, to_s2d=True, act="elu", act_param=a)
+            s = fused(origin, 3, s)
+            s = fused(origin, 3, s)
+            s = fused(origin, 1, s)
+            sc, sh = bn()(s, ura, fold=True)
+            s = Conv3d(n_classes, (1, 1, 1), compute_dtype=cdt)(
+                s, scale=sc, shift=sh)
+            return nn.sigmoid(s2d_unpack(s).astype(jnp.float32))
+
+        x = bn()(x, use_running_average=ura)
         x = elu(ConvTranspose3d(d8, (3, 3, 3), (1, 1, 1), cdt)(x), a)
-        x = bn()(x, use_running_average=not train)
+        x = bn()(x, use_running_average=ura)
         x = elu(ConvTranspose3d(d4, (3, 3, 3), (2, 2, 2), cdt)(x), a)
-        x = bn()(x, use_running_average=not train)
+        x = bn()(x, use_running_average=ura)
         x = elu(Conv3d(d4, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=not train)
+        x = bn()(x, use_running_average=ura)
         x = elu(Conv3d(d2, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=not train)
+        x = bn()(x, use_running_average=ura)
         x = elu(ConvTranspose3d(d2, (2, 2, 2), (2, 2, 2), cdt)(x), a)
-        x = bn()(x, use_running_average=not train)
+        x = bn()(x, use_running_average=ura)
         x = elu(Conv3d(d2, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=not train)
+        x = bn()(x, use_running_average=ura)
         x = elu(Conv3d(origin, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=not train)
+        x = bn()(x, use_running_average=ura)
         x = elu(ConvTranspose3d(origin, (2, 2, 2), (2, 2, 2), cdt)(x), a)
-        x = bn()(x, use_running_average=not train)
+        x = bn()(x, use_running_average=ura)
         x = elu(Conv3d(origin, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=not train)
+        x = bn()(x, use_running_average=ura)
         x = elu(Conv3d(origin, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=not train)
+        x = bn()(x, use_running_average=ura)
         x = elu(Conv3d(origin, (1, 1, 1), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=not train)
+        x = bn()(x, use_running_average=ura)
         x = Conv3d(n_classes, (1, 1, 1), compute_dtype=cdt)(x)
         return nn.sigmoid(x.astype(jnp.float32))
 

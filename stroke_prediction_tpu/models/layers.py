@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from stroke_prediction_tpu.ops.pallas.s2d import (
-    S2d, fold_bn, s2d_batch_stats, s2d_cell_pad, s2d_conv)
+    S2d, ct_stride2_to_s2d, fold_bn, s2d_affine, s2d_batch_stats,
+    s2d_cell_pad, s2d_conv, s2d_conv1x1, s2d_conv_stride2)
 
 Dtype = Any
 
@@ -90,19 +91,41 @@ class Conv3d(nn.Module):
         """Fused path on an s2d-domain tensor: fold the (optional) BN
         affine into (kernel, bias), express the padding as conv modes
         (odd z pad -> mode 's'; even H/W pads -> exact cell pads), one
-        Pallas kernel for conv+bias+activation."""
+        Pallas kernel for conv+bias+activation.  1^3 convs are in-domain
+        lane matmuls; stride-2 convs are cell-window einsums returning
+        the logical half-resolution tensor (the BN affine is applied
+        masked, since zero-padded boundaries make it unfoldable)."""
+        act = act or "none"
+        if tuple(self.kernel_size) == (1, 1, 1):
+            assert tuple(self.strides) == (1, 1, 1), self.strides
+            if scale is not None:
+                kernel, bias = fold_bn(kernel, bias, scale, shift)
+            return s2d_conv1x1(s, kernel[0, 0, 0], bias, act, act_param)
         assert tuple(self.kernel_size) == (3, 3, 3), self.kernel_size
-        assert tuple(self.strides) == (1, 1, 1), self.strides
         pads = ((0, 0, 0) if self.padding == "VALID"
                 else tuple(int(p) for p in self.padding))
+        if tuple(self.strides) == (2, 2, 2):
+            assert pads in ((0, 0, 0), (1, 1, 1)), self.padding
+            if scale is not None:
+                s = s2d_affine(s, scale, shift)
+            return s2d_conv_stride2(s, kernel, bias, act, act_param,
+                                    pad=pads[0])
+        assert tuple(self.strides) == (1, 1, 1), self.strides
         assert pads[0] in (0, 1) and pads[1] % 2 == 0 and pads[2] % 2 == 0, \
             self.padding
         if scale is not None:
-            kernel, bias = fold_bn(kernel, bias, scale, shift)
+            if pads == (0, 0, 0):
+                # BN folding is exact only for VALID convs: a padded conv
+                # pads the BN OUTPUT with zeros, so the folded bias would
+                # wrongly fire at boundary taps — apply the affine masked
+                # on the input instead
+                kernel, bias = fold_bn(kernel, bias, scale, shift)
+            else:
+                s = s2d_affine(s, scale, shift)
         if pads[1] or pads[2]:
             s = s2d_cell_pad(s, (0, pads[1], pads[2]))
         modes = ("s" if pads[0] else "v", "v", "v")
-        return s2d_conv(s, kernel, bias, act=act or "none",
+        return s2d_conv(s, kernel, bias, act=act,
                         alpha=act_param, modes=modes)
 
     @nn.compact
@@ -130,17 +153,6 @@ class Conv3d(nn.Module):
 
         if tuple(self.kernel_size) == (1, 1, 1):
             y = jnp.einsum("bdhwc,co->bdhwo", x, k[0, 0, 0])
-        elif (tuple(self.kernel_size) == (3, 3, 3)
-              and os.environ.get("STROKE_TPU_CONV_IMPL") == "pallas_s2d"):
-            # opt-in: Pallas fused s2d forward (XLA-derived backward); the
-            # batch-merged 2D path below is the tuned default
-            from stroke_prediction_tpu.ops.pallas.conv3d import conv3d_s2d
-            y = conv3d_s2d(x, k, jnp.zeros((self.features,), jnp.float32))
-            return (y + bias.astype(y.dtype)
-                    if tuple(self.strides) == (1, 1, 1) else
-                    y[tuple([slice(None)]
-                            + [slice(None, None, s) for s in self.strides]
-                            + [slice(None)])] + bias.astype(y.dtype))
         else:
             y = _conv3d_as_2d(x, k)
 
@@ -157,9 +169,29 @@ class Conv3d(nn.Module):
         return y + bias.astype(cd)
 
 
+class _ConvParams(nn.Module):
+    """Kernel/bias holder matching flax nn.ConvTranspose's param tree."""
+
+    kshape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_conv_kernel_init, self.kshape)
+        bias = self.param("bias", torch_conv_bias_init_for(self.kshape),
+                          (self.kshape[-1],))
+        return kernel, bias
+
+
 class ConvTranspose3d(nn.Module):
     """3-D transposed convolution, torch ``ConvTranspose3d(k, stride,
-    padding=0)`` shape semantics: out = (in-1)*stride + k."""
+    padding=0)`` shape semantics: out = (in-1)*stride + k.
+
+    Logical path: ``lax.conv_transpose`` (what flax nn.ConvTranspose
+    lowers to for VALID padding).  With ``to_s2d=True`` and stride 2
+    (k in {2, 3}), emits the output directly INTO the s2d cell layout
+    via dense cell-window einsums (ops/pallas/s2d.py ct_stride2_to_s2d)
+    with the activation fused — no re-layout of the upsampled tensor.
+    """
 
     features: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
@@ -167,22 +199,21 @@ class ConvTranspose3d(nn.Module):
     compute_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, to_s2d: bool = False, act: Optional[str] = None,
+                 act_param: float = 1.0):
         in_ch = x.shape[-1]
-        # torch fan_in for ConvTranspose is out-side? torch uses
-        # weight shape (in, out, *k) and stdv from in_ch*prod(k).
         kshape = tuple(self.kernel_size) + (in_ch, self.features)
-        conv = nn.ConvTranspose(
-            features=self.features,
-            kernel_size=self.kernel_size,
-            strides=self.strides,
-            padding="VALID",
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-            kernel_init=torch_conv_kernel_init,
-            bias_init=torch_conv_bias_init_for(kshape),
-        )
-        return conv(x)
+        kernel, bias = _ConvParams(kshape, name="ConvTranspose_0")()
+        cd = self.compute_dtype
+        if to_s2d:
+            assert tuple(self.strides) == (2, 2, 2), self.strides
+            return ct_stride2_to_s2d(x.astype(cd), kernel, bias,
+                                     act=act or "none", alpha=act_param)
+        assert act is None
+        y = lax.conv_transpose(
+            x.astype(cd), kernel.astype(cd), self.strides, "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + bias.astype(cd)
 
 
 class _BNCore(nn.Module):

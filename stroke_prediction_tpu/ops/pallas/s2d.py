@@ -7,10 +7,10 @@ tools/perf_probe.py).  This engine packs the 2x2x2 output neighborhood
 into the matmul's N dimension (output space-to-depth): N = 8*C_out
 reaches the MXU's native 128 lanes at C_out = 16.
 
-Unlike the round-1 kernel (ops/pallas/conv3d.py, forward-only, per-call
-layout transforms), this engine keeps activations IN the s2d layout
-across consecutive layers, so the space-to-depth/depth-to-space
-re-layouts amortize over a whole conv chain (NOTES.md round-1 plan):
+Unlike a per-call kernel (pack, conv, unpack each invocation), this
+engine keeps activations IN the s2d layout across consecutive layers, so
+the space-to-depth/depth-to-space re-layouts amortize over a whole conv
+chain (NOTES.md round-1 plan):
 
   * an :class:`S2d` value is ``(B, Dc, Hc, Wc, 8*Cp)`` cells with
     parity-major channels ``(pd, ph, pw, c)`` plus static logical
@@ -96,7 +96,7 @@ jax.tree_util.register_pytree_node(
     lambda logical, xs: S2d(xs[0], logical))
 
 
-def s2d_pack(x: jnp.ndarray, dtype=jnp.bfloat16) -> S2d:
+def s2d_pack(x: jnp.ndarray, dtype=None) -> S2d:
     """(B, D, H, W, C) -> S2d.  Zero-pads odd spatial dims and the W cell
     grid to a multiple of 8; the interleave runs at the REAL channel
     width (lane padding to a 128 multiple happens last, as a cheap
@@ -104,11 +104,13 @@ def s2d_pack(x: jnp.ndarray, dtype=jnp.bfloat16) -> S2d:
 
     Decomposed per axis (W interleave is a free reshape; H and D are
     single-axis interleaves) — measured ~2.5x faster than the naive 8-way
-    transpose on TPU.
+    transpose on TPU.  The engine runs at the input's dtype (the caller
+    casts to its compute dtype first; bf16 on TPU by default).
     """
     b, d, h, w, c = x.shape
     wc = _round_up(_cells(w), 8)
-    x = x.astype(dtype)
+    if dtype is not None:
+        x = x.astype(dtype)
     pads = ((0, 0), (0, d % 2), (0, h % 2), (0, 2 * wc - w), (0, 0))
     if any(p != (0, 0) for p in pads):
         x = jnp.pad(x, pads)
@@ -272,31 +274,19 @@ def _conv_kernel(*refs, nz: int, hco: int, wcp: int, c8: int, act: str,
     do, ho, wo = out_logical
     co8 = w_ref.shape[-1]
 
-    # im2col by 128-aligned lane concat of tap-view GROUPS, one deep-K
-    # matmul per group: trades concat relayout against MXU K-depth
-    # (a single K=c8 product streams only 128 deep)
-    views = []
+    # one accumulated MXU matmul per tap view; measured equal to
+    # concatenated deep-K variants (the MXU streams ~2 rows/cycle at
+    # N=128 either way), and the views stay zero-copy
+    acc = None
     for zi in range(nz):
         base = x_refs[zi][0, 0]                       # (hci, wcp, c8)
         rolled = _roll_w(base, interpret)
         for qy in range(2):
-            views.append(base[qy:qy + hco])
-            views.append(rolled[qy:qy + hco])
-    nq = nz * 4
-    gsz = int(os.environ.get("STROKE_TPU_S2D_GROUP", "1"))
-    gsz = max(1, min(gsz, nq))
-    acc = None
-    wfull = w_ref[:].reshape(nq * c8, co8)
-    for g0 in range(0, nq, gsz):
-        g1 = min(g0 + gsz, nq)
-        if g1 - g0 == 1:
-            rows = views[g0].reshape(hco * wcp, c8)
-        else:
-            rows = jnp.concatenate(views[g0:g1], axis=-1).reshape(
-                hco * wcp, (g1 - g0) * c8)
-        part = jnp.dot(rows, wfull[g0 * c8:g1 * c8],
-                       preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
+            for qx, xv in ((0, base), (1, rolled)):
+                rows = xv[qy:qy + hco].reshape(hco * wcp, c8)
+                part = jnp.dot(rows, w_ref[(zi * 2 + qy) * 2 + qx],
+                               preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
 
     y = _act(acc + b_ref[:], act, alpha)
 
@@ -476,7 +466,7 @@ def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret):
             pl.BlockSpec((nq, c8, co8), lambda b, d: (0, 0, 0),
                          memory_space=pltpu.VMEM)),
         out_shape=(
-            jax.ShapeDtypeStruct((b, dzi, hci, wpi, c8), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, dzi, hci, wpi, c8), xz.dtype),
             jax.ShapeDtypeStruct((nq, c8, co8), jnp.float32)),
         interpret=interpret,
     )(*([gpad] * nz), *([xz] * nz), wd)
@@ -497,7 +487,7 @@ def _prep(cells, kernel, bias, modes):
     c8 = cells.shape[-1]
     ci, co = kernel.shape[3], kernel.shape[4]
     co8 = _round_up(8 * co, 128)
-    wmats = superpatch_weights(kernel.astype(jnp.bfloat16), modes)
+    wmats = superpatch_weights(kernel.astype(cells.dtype), modes)
     wmats = jnp.pad(wmats, ((0, 0), (0, c8 - 8 * ci), (0, co8 - 8 * co)))
     brow = jnp.pad(jnp.tile(bias.astype(jnp.float32), 8), (0, co8 - 8 * co))
     return wmats, brow.reshape(1, co8), co8
@@ -551,18 +541,18 @@ def _s2d_conv_bwd(in_logical, modes, act, alpha, res, g):
 
     # activation gradient from the output; mask the cotangent so garbage
     # slots (whose forward value is the constant 0) contribute nothing;
-    # all in bf16 — one bandwidth-bound pass
+    # all at the engine dtype — one bandwidth-bound pass
+    cdt = cells.dtype
     ok = _out_mask(y.shape, (do, ho, wo), co, y.dtype)
-    one = jnp.asarray(1.0, jnp.bfloat16)
+    one = jnp.asarray(1.0, cdt)
     if act == "leaky_relu":
-        dact = jnp.where(y > 0, one, jnp.asarray(alpha, jnp.bfloat16))
+        dact = jnp.where(y > 0, one, jnp.asarray(alpha, cdt))
     elif act == "elu":
         dact = jnp.where(y > 0, one,
-                         y.astype(jnp.bfloat16) + jnp.asarray(
-                             alpha, jnp.bfloat16))
+                         y.astype(cdt) + jnp.asarray(alpha, cdt))
     else:
         dact = one
-    gpb = jnp.where(ok, g.astype(jnp.bfloat16) * dact, 0)
+    gpb = jnp.where(ok, g.astype(cdt) * dact, 0)
 
     # d(bias): sum over all valid voxels, folding the 8 output parities
     gp8 = gpb[..., :8 * co].reshape(gpb.shape[:-1] + (8, co))
@@ -572,7 +562,7 @@ def _s2d_conv_bwd(in_logical, modes, act, alpha, res, g):
     # ci<->co transposed weights) over the cell-padded cotangent; dW
     # accumulates (tap view x cotangent) per grid step in VMEM
     kd = jnp.swapaxes(jnp.flip(kernel, (0, 1, 2)), 3, 4)   # (3,3,3,co,ci)
-    wd = superpatch_weights(kd.astype(jnp.bfloat16), modes)
+    wd = superpatch_weights(kd.astype(cdt), modes)
     wd = jnp.pad(wd, ((0, 0), (0, co8 - 8 * co), (0, c8 - 8 * ci)))
     zpad = (0, 0) if modes[0] == "s" else (1, 1)
     gpad = jnp.pad(gpb, ((0, 0), zpad, (1, 1), (1, 0), (0, 0)))
@@ -621,6 +611,187 @@ def s2d_conv(s: S2d, kernel: jnp.ndarray, bias: jnp.ndarray,
                     float(alpha))
     do = d - 2 if modes[0] == "v" else d
     return S2d(out, (do, h - 2, w - 2, int(kernel.shape[4])))
+
+
+# ---------------------------------------------------------------------------
+# Strided / transposed / 1x1 convolutions in the s2d domain
+#
+# A stride-2 3^3 conv consumes a 2-cell window per axis and emits ONE
+# voxel per cell (the output grid IS the cell grid), and a stride-2
+# transposed conv consumes one logical voxel per OUTPUT CELL — both are
+# plain dense einsums over cell-shifted views, MXU-shaped without any
+# im2col, so XLA handles them well at the low resolutions where they
+# occur (reference: Cae3D.py encoder strided layers / decoder
+# ConvTranspose3d layers).
+# ---------------------------------------------------------------------------
+
+def _valid_mask(shape_cells, logical_dhw, c_real):
+    """(Dc, Hc, Wc, L) bool mask of in-extent (parity-major) slots."""
+    dc, hc, wc, L = shape_cells[-4:]
+    do, ho, wo = logical_dhw
+    zid = jax.lax.broadcasted_iota(jnp.int32, (dc, hc, wc, L), 0)
+    hid = jax.lax.broadcasted_iota(jnp.int32, (dc, hc, wc, L), 1)
+    wid = jax.lax.broadcasted_iota(jnp.int32, (dc, hc, wc, L), 2)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (dc, hc, wc, L), 3)
+    pz = (cid // (4 * c_real)) % 2
+    py = (cid // (2 * c_real)) % 2
+    px = (cid // c_real) % 2
+    return ((2 * zid + pz < do) & (2 * hid + py < ho) & (2 * wid + px < wo)
+            & (cid < 8 * c_real))
+
+
+def s2d_affine(s: S2d, scale: jnp.ndarray, shift: jnp.ndarray) -> S2d:
+    """Per-channel affine (the BN normalization) applied IN the s2d
+    domain, masked to preserve the zero invariant.  Used before ops whose
+    boundary zero-padding makes the affine unfoldable (strided convs)."""
+    c = s.logical[3]
+    L = s.cells.shape[-1]
+    sl = jnp.pad(jnp.tile(scale.astype(jnp.float32), 8), (0, L - 8 * c))
+    tl = jnp.pad(jnp.tile(shift.astype(jnp.float32), 8), (0, L - 8 * c))
+    ok = _valid_mask(s.cells.shape, s.logical[:3], c)
+    out = jnp.where(ok, s.cells.astype(jnp.float32) * sl + tl, 0.0)
+    return S2d(out.astype(s.cells.dtype), s.logical)
+
+
+@functools.lru_cache(maxsize=None)
+def _stride2_tap_table(pad: int) -> np.ndarray:
+    """T[q (2^3 cell shifts), p (in-cell parity)] = flat tap index or 27.
+    out[i] = sum_t k[t] * x[2i + t - pad] per axis; the window is cells
+    {i-pad+q : q in 0..1}."""
+    T = np.full((8, 8), 27, np.int64)
+    for q in range(8):
+        qz, qy, qx = q >> 2 & 1, q >> 1 & 1, q & 1
+        for p in range(8):
+            pz, py, px = p >> 2 & 1, p >> 1 & 1, p & 1
+            # voxel offset rel output voxel 2i: d = 2(q-pad)+p ; t = d+pad
+            ts = [2 * (qq - pad) + pp + pad
+                  for qq, pp in ((qz, pz), (qy, py), (qx, px))]
+            if all(0 <= t < 3 for t in ts):
+                T[q, p] = (ts[0] * 3 + ts[1]) * 3 + ts[2]
+    return T
+
+
+def s2d_conv_stride2(s: S2d, kernel: jnp.ndarray, bias: jnp.ndarray,
+                     act: str = "none", alpha: float = 1.0,
+                     pad: int = 1) -> jnp.ndarray:
+    """Stride-2 3^3 conv (torch padding=pad in {0, 1}) on an s2d tensor,
+    returning the LOGICAL half-resolution output (B, D', H', W', C_out).
+    8 cell-shifted einsums, K = 8*C_in lanes, N = C_out."""
+    d, h, w, ci = s.logical
+    co = kernel.shape[-1]
+    T = _stride2_tap_table(pad)
+    k4 = jnp.concatenate([kernel.reshape(27, ci, co),
+                          jnp.zeros((1, ci, co), kernel.dtype)])
+    cells = s.cells[..., :8 * ci]
+    if pad:
+        nzo = (_cells(d), _cells(h), _cells(w))
+        cells = jnp.pad(cells, ((0, 0), (1, 0), (1, 0), (1, 0), (0, 0)))
+    else:
+        nzo = (_cells(d) - 1, _cells(h) - 1, _cells(w) - 1)
+    out = None
+    cdt = cells.dtype
+    for q in range(8):
+        qz, qy, qx = q >> 2 & 1, q >> 1 & 1, q & 1
+        wq = k4[T[q]]                                   # (8, ci, co)
+        wq = wq.reshape(8 * ci, co).astype(cdt)
+        xv = cells[:, qz:qz + nzo[0], qy:qy + nzo[1], qx:qx + nzo[2], :]
+        part = jnp.einsum("bzhwk,kn->bzhwn", xv, wq,
+                          preferred_element_type=jnp.float32)
+        out = part if out is None else out + part
+    out = _act(out + bias.astype(jnp.float32), act, alpha)
+    return out.astype(cdt)
+
+
+@functools.lru_cache(maxsize=None)
+def _ct_tap_table(k: int) -> np.ndarray:
+    """Transposed conv with lax.conv_transpose(transpose_kernel=False)
+    semantics (what flax nn.ConvTranspose computes; the kernel reads
+    MIRRORED relative to torch's w[o - 2i]): out[2j + p] =
+    sum_i w[k-1 - (2j + p - 2i)] x[i].
+    k=3: window cells {j-1+q : q in 0..1}, t = 2q - p;
+    k=2: window {j}, t = 1 - p.
+    T[q, p] per axis -> flat tap or k^3 (zero)."""
+    nq = 8 if k == 3 else 1
+    T = np.full((nq, 8), k ** 3, np.int64)
+    for q in range(nq):
+        qz, qy, qx = q >> 2 & 1, q >> 1 & 1, q & 1
+        for p in range(8):
+            pz, py, px = p >> 2 & 1, p >> 1 & 1, p & 1
+            if k == 3:
+                ts = [2 * qq - pp
+                      for qq, pp in ((qz, pz), (qy, py), (qx, px))]
+            else:
+                ts = [1 - pz, 1 - py, 1 - px]
+            if all(0 <= t < k for t in ts):
+                T[q, p] = (ts[0] * k + ts[1]) * k + ts[2]
+    return T
+
+
+def ct_stride2_to_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
+                      bias: jnp.ndarray, act: str = "none",
+                      alpha: float = 1.0) -> S2d:
+    """Stride-2 transposed conv (torch ConvTranspose3d(k, 2), k in
+    {2, 3}) from a LOGICAL input directly INTO the s2d domain: the
+    output cell grid is the input voxel grid, so each output cell is a
+    dense product of a (k-1)^3+?-cell input window — one einsum per
+    cell shift (k=3: 8 shifts; k=2: 1), K = C_in, N = 8*C_out lanes."""
+    b, d, h, w, ci = x.shape
+    k = int(kernel.shape[0])
+    co = kernel.shape[-1]
+    T = _ct_tap_table(k)
+    kf = jnp.concatenate([kernel.reshape(k ** 3, ci, co),
+                          jnp.zeros((1, ci, co), kernel.dtype)])
+    out_log = ((2 * d + 1, 2 * h + 1, 2 * w + 1, co) if k == 3
+               else (2 * d, 2 * h, 2 * w, co))
+    dc, hc, wc = _cells(out_log[0]), _cells(out_log[1]), _cells(out_log[2])
+    wcp = _round_up(wc, 8)
+    cdt = x.dtype
+    out = None
+    if k == 3:
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, wcp - wc + 1), (0, 0)))
+        for q in range(T.shape[0]):
+            qz, qy, qx = q >> 2 & 1, q >> 1 & 1, q & 1
+            wq = jnp.transpose(kf[T[q]], (1, 0, 2)).reshape(
+                ci, 8 * co).astype(cdt)                # (ci, (a, co))
+            xv = xp[:, qz:qz + dc, qy:qy + hc, qx:qx + wcp, :]
+            part = jnp.einsum("bzhwk,kn->bzhwn", xv, wq,
+                              preferred_element_type=jnp.float32)
+            out = part if out is None else out + part
+    else:
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wcp - wc), (0, 0)))
+        wq = jnp.transpose(kf[T[0]], (1, 0, 2)).reshape(
+            ci, 8 * co).astype(cdt)
+        out = jnp.einsum("bzhwk,kn->bzhwn", xp, wq,
+                         preferred_element_type=jnp.float32)
+    out = _act(out + jnp.tile(bias, 8).astype(jnp.float32), act, alpha)
+    ok = _valid_mask(out.shape, out_log[:3], co)
+    out = jnp.where(ok, out, 0.0).astype(cdt)
+    L = _round_up(8 * co, 128)
+    if L != 8 * co:
+        out = jnp.pad(out, ((0, 0),) * 4 + ((0, L - 8 * co),))
+    return S2d(out, out_log)
+
+
+def s2d_conv1x1(s: S2d, kernel: jnp.ndarray, bias: jnp.ndarray,
+                act: str = "none", alpha: float = 1.0) -> S2d:
+    """1^3 conv in the s2d domain: a block-diagonal lane matmul
+    (kron(I8, k)), K = 8*C_in, N = 8*C_out — no unpacking needed."""
+    d, h, w, ci = s.logical
+    co = kernel.shape[-1]
+    k2 = kernel.reshape(ci, co)
+    eye = jnp.asarray(np.eye(8, dtype=np.float32))
+    wfull = jnp.einsum("pq,io->piqo", eye, k2).reshape(8 * ci, 8 * co)
+    cdt = s.cells.dtype
+    out = jnp.einsum("bzhwk,kn->bzhwn", s.cells[..., :8 * ci],
+                     wfull.astype(cdt), preferred_element_type=jnp.float32)
+    out = _act(out + jnp.tile(bias, 8).astype(jnp.float32), act, alpha)
+    out_log = (d, h, w, co)
+    ok = _valid_mask(out.shape, (d, h, w), co)
+    out = jnp.where(ok, out, 0.0).astype(cdt)
+    L = _round_up(8 * co, 128)
+    if L != 8 * co:
+        out = jnp.pad(out, ((0, 0),) * 4 + ((0, L - 8 * co),))
+    return S2d(out, out_log)
 
 
 # ---------------------------------------------------------------------------

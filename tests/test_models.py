@@ -15,6 +15,7 @@ from stroke_prediction_tpu.models.unet3d import Unet3D, unet_output_spatial
 
 CHANNELS_UNET = (2, 4, 6, 8, 6, 4, 6, 2)       # tiny spec, same arity as CLI
 CHANNELS_CAE = (1, 2, 3, 4, 5, 6, 1)
+CHANNELS_CAE_WIDE = (1, 4, 6, 8, 10, 12, 1)    # for the impl-parity check
 
 
 class TestShapeAlgebra:
@@ -148,3 +149,47 @@ class TestCae3D:
         # near-0.5 by the crucial init (sigmoid of ~N(0.5, small))
         assert 0.3 < float(step.mean()) < 0.9
         assert out.reconstructions.gtruth.interpolation is not None
+
+
+class TestS2dImplParity:
+    """The chained s2d-domain conv engine (the TPU default,
+    models/layers.py conv_impl) must be numerically EXACT vs the lax
+    path at f32 — both stacks, training mode, batch_stats included."""
+
+    def _run(self, monkeypatch, Stack, inp):
+        from stroke_prediction_tpu.models.cae3d import (
+            DecoderStack, EncoderStack)
+        m = Stack(CHANNELS_CAE_WIDE, compute_dtype=jnp.float32)
+        outs = {}
+        for impl in ("lax2d", "pallas_s2d"):
+            monkeypatch.setenv("STROKE_TPU_CONV_IMPL", impl)
+            v = m.init(jax.random.PRNGKey(0), inp, train=True)
+            keys = [jax.tree_util.keystr(k) for k, _ in
+                    jax.tree_util.tree_leaves_with_path(v)]
+            y, upd = m.apply(v, inp, train=True, mutable=["batch_stats"])
+            outs[impl] = (keys, v, y, upd)
+        k1, v1, y1, u1 = outs["lax2d"]
+        k2, v2, y2, u2 = outs["pallas_s2d"]
+        assert k1 == k2          # identical param trees -> checkpoints portable
+        # re-apply s2d with the LAX params (proves same param semantics)
+        monkeypatch.setenv("STROKE_TPU_CONV_IMPL", "pallas_s2d")
+        y2, u2 = m.apply(v1, inp, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(y1, np.float32), np.asarray(y2, np.float32),
+            atol=2e-5, rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(u1),
+                        jax.tree_util.tree_leaves(u2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4)
+
+    def test_encoder(self, monkeypatch):
+        from stroke_prediction_tpu.models.cae3d import EncoderStack
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 28, 64, 64, 1), jnp.float32)
+        self._run(monkeypatch, EncoderStack, x)
+
+    def test_decoder(self, monkeypatch):
+        from stroke_prediction_tpu.models.cae3d import DecoderStack
+        rng = np.random.RandomState(1)
+        z = jnp.asarray(rng.rand(1, 1, 5, 5, 6) * 0.5, jnp.float32)
+        self._run(monkeypatch, DecoderStack, z)

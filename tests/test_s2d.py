@@ -8,7 +8,8 @@ import pytest
 from jax import lax
 
 from stroke_prediction_tpu.ops.pallas.s2d import (
-    S2d, fold_bn, s2d_batch_stats, s2d_cell_pad, s2d_conv, s2d_crop_unpack,
+    S2d, ct_stride2_to_s2d, fold_bn, s2d_affine, s2d_batch_stats,
+    s2d_cell_pad, s2d_conv, s2d_conv1x1, s2d_conv_stride2, s2d_crop_unpack,
     s2d_pack, s2d_pool2, s2d_stride2, s2d_unpack)
 
 
@@ -163,6 +164,65 @@ def test_s2d_chain_matches_lax(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=0.3, rtol=0.1)
+
+
+@pytest.mark.parametrize("pad", [0, 1])
+def test_s2d_conv_stride2(rng, pad):
+    """Strided encoder conv: s2d in, logical half-res out (torch
+    Conv3d(3, stride=2, padding=pad) semantics)."""
+    x = _rand(rng, 2, 8, 10, 12, 3)
+    k = _rand(rng, 3, 3, 3, 3, 5) * 0.3
+    bias = jnp.asarray(rng.rand(5), jnp.float32)
+    xp = jnp.pad(x, ((0, 0),) + ((pad, pad),) * 3 + ((0, 0),)) if pad else x
+    ref = lax.conv_general_dilated(
+        xp, k, (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias
+    got = s2d_conv_stride2(s2d_pack(x, jnp.float32), k, bias, pad=pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_ct_stride2_to_s2d(rng, k):
+    """Transposed stride-2 conv emitting s2d cells directly, vs
+    lax.conv_transpose (flax nn.ConvTranspose semantics)."""
+    x = _rand(rng, 2, 4, 5, 6, 3)
+    kern = _rand(rng, k, k, k, 3, 4) * 0.3
+    bias = jnp.asarray(rng.rand(4), jnp.float32)
+    ref = lax.conv_transpose(
+        x, kern, (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias
+    got = ct_stride2_to_s2d(x, kern, bias)
+    assert got.logical == ref.shape[1:]
+    np.testing.assert_allclose(np.asarray(s2d_unpack(got)),
+                               np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_s2d_conv1x1_and_affine(rng):
+    """In-domain 1^3 conv and masked channel affine preserve the zero
+    invariant and match the logical ops."""
+    x = _rand(rng, 1, 5, 7, 9, 4)
+    s = s2d_pack(x, jnp.float32)
+    k = _rand(rng, 1, 1, 1, 4, 6) * 0.5
+    bias = jnp.asarray(rng.rand(6), jnp.float32)
+    got = s2d_conv1x1(s, k[0, 0, 0], bias, act="elu", alpha=1.0)
+    ref = jnp.einsum("bdhwc,co->bdhwo", x, k[0, 0, 0]) + bias
+    ref = jnp.where(ref > 0, ref, jnp.exp(ref) - 1.0)
+    np.testing.assert_allclose(np.asarray(s2d_unpack(got)),
+                               np.asarray(ref), atol=1e-4, rtol=1e-4)
+    # zero invariant after the op
+    total = float(jnp.sum(jnp.abs(got.cells)))
+    valid = float(jnp.sum(jnp.abs(s2d_unpack(got))))
+    assert abs(total - valid) < 1e-3
+
+    scale = jnp.asarray(rng.rand(4) + 0.5, jnp.float32)
+    shift = _rand(rng, 4)
+    sa = s2d_affine(s, scale, shift)
+    np.testing.assert_allclose(np.asarray(s2d_unpack(sa)),
+                               np.asarray(x * scale + shift), atol=1e-5)
+    total = float(jnp.sum(jnp.abs(sa.cells)))
+    valid = float(jnp.sum(jnp.abs(s2d_unpack(sa))))
+    assert abs(total - valid) < 1e-3
 
 
 def test_batch_stats_and_fold(rng):
