@@ -55,6 +55,7 @@ def train(args):
         path_previous_base=args.inbasepath,
         path_outputs_base=args.outbasepath, seed=args.seed,
         metrics_with_distances=not args.fastmetrics,
+        profile_dir=args.profile,
         mesh=make_mesh(args))
     learner.run_training()
 

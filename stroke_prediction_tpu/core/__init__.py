@@ -1,1 +1,1 @@
-from stroke_prediction_tpu.core import config, dto  # noqa: F401
+from stroke_prediction_tpu.core import dto  # noqa: F401

@@ -155,68 +155,3 @@ class BinaryMeasures:
         if self.precision is None or self.sensitivity is None:
             return None
         return np.sqrt((1 - self.precision) ** 2 + (1 - self.sensitivity) ** 2)
-
-
-@struct.dataclass
-class MetricMeasures:
-    """Accumulatable epoch metrics (reference: MetricMeasuresDto.py:49-75)."""
-
-    loss: Array = None
-    core: BinaryMeasures = None
-    penu: BinaryMeasures = None
-    lesion: BinaryMeasures = None
-
-
-def init_measures(loss=None) -> MetricMeasures:
-    return MetricMeasures(loss=loss, core=BinaryMeasures(),
-                          penu=BinaryMeasures(), lesion=BinaryMeasures())
-
-
-def measures_add(a: MetricMeasures, b: MetricMeasures) -> MetricMeasures:
-    """Field-wise accumulation; None+x = x (reference: MetricMeasuresDto.py:6-17)."""
-    import jax
-
-    def add(x, y):
-        return y if x is None else (x if y is None else x + y)
-
-    # tree_map skips None subtrees; do it manually over the flat dicts
-    def merge(da, db, cls):
-        kw = {}
-        for f in da:
-            va, vb = da[f], db[f]
-            if isinstance(va, BinaryMeasures) or isinstance(vb, BinaryMeasures):
-                kw[f] = merge(vars(va or BinaryMeasures()),
-                              vars(vb or BinaryMeasures()), BinaryMeasures)
-            else:
-                kw[f] = add(va, vb)
-        return cls(**kw)
-
-    del jax
-    return merge(vars(a), vars(b), MetricMeasures)
-
-
-def measures_div(m: MetricMeasures, divisor) -> MetricMeasures:
-    """Field-wise division for epoch averaging (reference: MetricMeasuresDto.py:19-24).
-
-    Mirrors the reference semantics: infinite values (empty-mask HD/ASSD)
-    are kept as-is rather than divided.
-    """
-    import numpy as np
-
-    def div(x):
-        if x is None:
-            return None
-        if np.isinf(np.asarray(x)).all():
-            return x
-        return x / divisor
-
-    def walk(obj, cls):
-        kw = {}
-        for f, v in vars(obj).items():
-            if isinstance(v, BinaryMeasures):
-                kw[f] = walk(v, BinaryMeasures)
-            else:
-                kw[f] = div(v)
-        return cls(**kw)
-
-    return walk(m, MetricMeasures)

@@ -15,6 +15,7 @@ from stroke_prediction_tpu.data.dataset import (
     KEY_CASE_ID, KEY_IMAGES, KEY_LABELS, LABEL_PENU)
 from stroke_prediction_tpu.eval.metrics import binary_measures_host
 from stroke_prediction_tpu.eval.tester import Tester
+from stroke_prediction_tpu.inference import unet_inference
 from stroke_prediction_tpu.utils.nifti import (
     dhw_to_xyz, save_nifti, zoom2x_inplane_xyz)
 
@@ -27,19 +28,23 @@ class UnetSegmentationTester(Tester):
         model, variables = self._model, self._variables
 
         @jax.jit
-        def forward(images):
-            return model.apply(variables, images, train=False)
+        def forward(images, labels):
+            # batch dict -> UnetDto -> forward (the reference's
+            # UnetInference.inference_step, UnetInference.py:15-26)
+            return unet_inference(model, variables, images, labels)
 
         self._forward = forward
 
     def infer_batch(self, batch):
         images = jnp.asarray(batch[KEY_IMAGES])
         labels = jnp.asarray(batch[KEY_LABELS])
-        seg = self._forward(images)
+        dto = self._forward(images, labels)
+        gv, out = dto.given_variables, dto.outputs
         metrics = {
-            "core": binary_measures_host(seg[..., 0:1], labels[..., 0:1]),
-            "penu": binary_measures_host(seg[..., 1:2], labels[..., 1:2]),
+            "core": binary_measures_host(out.core, gv.core),
+            "penu": binary_measures_host(out.penu, gv.penu),
         }
+        seg = jnp.concatenate([out.core, out.penu], axis=-1)
         return metrics, seg
 
     def _to_native(self, vol_dhw):

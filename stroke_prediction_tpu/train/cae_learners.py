@@ -60,11 +60,15 @@ class CaeReconstructionLearner(Learner):
                          cae_model, optimizer, lr_schedule, n_epochs, **kw)
 
     def model_config(self) -> dict:
-        from stroke_prediction_tpu.models.cae3d import Enc3DCtp
+        from stroke_prediction_tpu.models.cae3d import Enc3DCtp, Enc3DStep
+        # record the TRUE encoder class (not the learner's step flag):
+        # `train_shape_reconstruction --steplearning` trains an Enc3DStep
+        # under this learner with the time provided, and the checkpoint
+        # must reload as Enc3DStep with its head params present
         cfg = {"kind": "cae3d",
                "channels": list(self._model.enc.channels),
                "n_ch_global": self._model.enc.n_ch_global,
-               "step": self.LEARN_STEP}
+               "step": isinstance(self._model.enc, Enc3DStep)}
         if isinstance(self._model.enc, Enc3DCtp):
             cfg["kind"] = "cae3d_ctp"
             cfg["padding"] = list(self._model.enc.padding)
@@ -127,7 +131,18 @@ class CaeReconstructionLearner(Learner):
             inputs_from_images=self._inputs_from_images)
 
     def _init_state(self, dto_like):
-        variables = self._model.init(self._next_key(), dto_like,
+        from stroke_prediction_tpu.models.cae3d import Enc3DStep
+        init_dto = dto_like
+        gv = dto_like.given_variables
+        if (isinstance(self._model.enc, Enc3DStep)
+                and gv.time_to_treatment is not None):
+            # trace the clinical step head at init even when the time is
+            # provided (reference torch builds all submodule params at
+            # construction; without this a --steplearning phase-1
+            # checkpoint would silently reload as plain Enc3D)
+            init_dto = dto_like.replace(
+                given_variables=gv.replace(time_to_treatment=None))
+        variables = self._model.init(self._next_key(), init_dto,
                                      BRANCH_GTRUTH, False)
         params = variables["params"]
         tx = self._resolve_tx(params)

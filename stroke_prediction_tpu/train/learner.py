@@ -57,7 +57,8 @@ class Learner:
                  path_previous_base: Optional[str] = None,
                  path_outputs_base: str = "/tmp/stroke-prediction",
                  seed: int = 4, metrics_with_distances: bool = True,
-                 mesh=None, log_throughput: bool = False):
+                 mesh=None, log_throughput: bool = False,
+                 profile_dir: Optional[str] = None):
         assert dataloader_training.batch_size > 1, \
             "For normalization layers batch_size > 1 is required."
         self._dataloader_training = dataloader_training
@@ -75,6 +76,7 @@ class Learner:
         n_chips = mesh.size if mesh is not None else 1
         self._timer = StepTimer(n_chips=n_chips)
         self._log_throughput = log_throughput
+        self._profile_dir = profile_dir
 
         self._state: Optional[TrainState] = None
         self._train_step = None
@@ -232,15 +234,18 @@ class Learner:
         accum: Dict[str, float] = {}
         count = 0
         factor = jnp.asarray(self.loss_factor(epoch), jnp.float32)
+        from stroke_prediction_tpu.utils.profiling import annotate
+        phase = "train_step" if training else "eval_step"
         for batch in loader:
             dev = self.batch_to_device(batch)
-            if training:
-                self._timer.start()
-                self._state, metrics = self._train_step(
-                    self._state, dev, self._next_key(), factor)
-            else:
-                metrics = self._eval_step(self._state, dev,
-                                          self._next_key(), factor)
+            with annotate(phase):
+                if training:
+                    self._timer.start()
+                    self._state, metrics = self._train_step(
+                        self._state, dev, self._next_key(), factor)
+                else:
+                    metrics = self._eval_step(self._state, dev,
+                                              self._next_key(), factor)
             # accumulate like MeasuresDto.add (inf propagates through +=),
             # divide like MeasuresDto.div (inf kept as-is) —
             # reference: MetricMeasuresDto.py:6-24
@@ -272,8 +277,16 @@ class Learner:
             self.adapt_betas(epoch)
 
             # ------------------------------- (1) TRAINING ----------------
-            m_train = self._run_epoch(self._dataloader_training, epoch,
-                                      training=True)
+            if (self._profile_dir is not None
+                    and epoch == self.get_start_epoch() + 1):
+                # capture the SECOND epoch (first is compile-dominated)
+                from stroke_prediction_tpu.utils.profiling import trace
+                with trace(self._profile_dir):
+                    m_train = self._run_epoch(self._dataloader_training,
+                                              epoch, training=True)
+            else:
+                m_train = self._run_epoch(self._dataloader_training, epoch,
+                                          training=True)
             self.print_epoch(epoch, "training", m_train)
             self._metric_dtos["training"].append(m_train)
 

@@ -57,6 +57,11 @@ class ExpParser(argparse.ArgumentParser):
                           help="Skip in-graph HD/ASSD during training "
                                "epochs (testers keep them); big compile/"
                                "step savings, Dice etc. unaffected")
+        self.add_argument("--profile", type=str, default=None,
+                          metavar="LOGDIR",
+                          help="Capture a jax.profiler device trace of one "
+                               "training epoch (the second, post-compile) "
+                               "into LOGDIR")
 
     def parse_args(self, args=None, namespace=None):
         ns = super().parse_args(args, namespace)

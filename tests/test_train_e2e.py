@@ -103,3 +103,62 @@ class TestUnetEndToEnd:
         seg = model.apply(variables, jnp.zeros((1, 44, 44, 44, 2)),
                           train=False)
         assert seg.shape == (1, 4, 4, 4, 2)
+
+
+class TestEnc3DStepCheckpointIdentity:
+    """A --steplearning phase-1 run (Enc3DStep under
+    CaeReconstructionLearner with the time PROVIDED) must checkpoint as
+    Enc3DStep with its clinical step-head params present, so factory
+    round-trips are faithful (reference: torch builds all submodule
+    params at construction, Cae3D.py:121-142)."""
+
+    def test_step_head_traced_and_recorded(self, tmp_path):
+        import jax.numpy as jnp
+        from stroke_prediction_tpu.data.loader import (
+            get_stroke_shape_training_data as shape_data)
+        from stroke_prediction_tpu.models.cae3d import (
+            Cae3D, Dec3D, Enc3DStep)
+        from stroke_prediction_tpu.models.factory import load_model
+        from stroke_prediction_tpu.train.cae_learners import (
+            CaeReconstructionLearner)
+
+        provider = SyntheticCaseProvider(n_cases=4, shape_xyz=(64, 64, 28),
+                                         seed=4)
+        ds = StrokeDataset3D(provider, [MOD_CBV, MOD_TTD],
+                             [LABEL_CORE, LABEL_PENU, LABEL_LESION],
+                             flip_split_id=15, pad=(0, 0, 0))
+        train, valid = shape_data(ds, range(4), 0.5, seed=4, batchsize=2,
+                                  split=False)
+        ch = (1, 2, 3, 4, 5, 6, 1)
+        cae = Cae3D(enc=Enc3DStep(channels=ch, n_ch_global=5),
+                    dec=Dec3D(channels=ch, n_ch_global=5))
+        tx = make_optimizer(1e-3, betas=(0.9, 0.999), weight_decay=1e-5)
+        learner = CaeReconstructionLearner(
+            train, valid, cae, tx, None, n_epochs=1, elastic=False,
+            path_outputs_base=str(tmp_path / "step"), seed=4,
+            metrics_with_distances=False)
+        # head params exist even though the time is provided
+        flat = {"/".join(str(k) for k in p): v for p, v in
+                jax.tree_util.tree_leaves_with_path(
+                    {"params": learner._state.params})}
+        assert any("step_head" in k for k in flat), sorted(flat)[:10]
+        assert learner.model_config()["step"] is True
+
+        learner.save_model()
+        model, variables = load_model(str(tmp_path / "step_cae1.model"))
+        assert isinstance(model.enc, Enc3DStep)
+        # the reloaded model can run with NO time given (head active)
+        from stroke_prediction_tpu.core.dto import BRANCH_GTRUTH
+        from stroke_prediction_tpu.inference import cae_dto_from_batch
+        b0 = ds.stack(train.indices[:2])
+        dto = cae_dto_from_batch(
+            jnp.asarray(b0["images"]), jnp.asarray(b0["labels"]),
+            jnp.asarray(b0["clinical"]), step=None,
+            normalization_hours_penumbra=10, learn_step=True)
+        out = model.apply(variables, dto, BRANCH_GTRUTH, False)
+        step = out.given_variables.time_to_treatment
+        assert step is not None and step.shape[1] == 1
+        assert 0.2 < float(step.mean()) < 0.9
+
+
+import jax  # noqa: E402  (used by the step-identity test)
