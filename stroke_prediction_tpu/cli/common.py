@@ -38,6 +38,16 @@ def make_dataset(args, modalities: Sequence[str], labels: Sequence[str],
 
 
 def make_mesh(args):
+    if getattr(args, "distributed", False):
+        # multi-host: bring up the JAX distributed runtime FIRST so
+        # jax.devices() below is the global (all-host) device list
+        from stroke_prediction_tpu.parallel.distributed import initialize
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.nprocs, process_id=args.procid)
+        import jax
+        from stroke_prediction_tpu.parallel.mesh import make_data_mesh
+        n = getattr(args, "ndevices", 0) or len(jax.devices())
+        return make_data_mesh(n)
     if getattr(args, "ndevices", 1) <= 1:
         return None
     from stroke_prediction_tpu.parallel.mesh import make_data_mesh

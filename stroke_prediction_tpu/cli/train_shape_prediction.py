@@ -40,7 +40,7 @@ def train(args):
                            flip_split_id=args.hemisflipid)
     ds_train, ds_valid = get_stroke_prediction_training_data(
         dataset, args.fold, args.validsetsize, seed=args.seed,
-        batchsize=args.batchsize)
+        batchsize=args.batchsize, process_shard=args.distributed)
     print("Size training set:", len(ds_train.indices),
           "samples | Size validation set:",
           len(ds_valid.indices) if ds_valid else 0,

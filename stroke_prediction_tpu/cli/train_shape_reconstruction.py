@@ -40,7 +40,8 @@ def train(args):
                            [LABEL_CORE, LABEL_PENU, LABEL_LESION])
     ds_train, ds_valid = get_stroke_shape_training_data(
         dataset, args.fold, args.validsetsize, seed=args.seed,
-        batchsize=args.batchsize, split=use_validation)
+        batchsize=args.batchsize, split=use_validation,
+        process_shard=args.distributed)
     print("Size training set:", len(ds_train.indices),
           "samples | Size validation set:",
           len(ds_valid.indices) if ds_valid else 0,

@@ -38,12 +38,14 @@ class BatchLoader:
 
     def __init__(self, dataset: StrokeDataset3D, indices: Sequence[int],
                  batch_size: int, shuffle: bool = True,
-                 seed: Optional[int] = None, drop_last: bool = False):
+                 seed: Optional[int] = None, drop_last: bool = False,
+                 process_shard: bool = False):
         self.dataset = dataset
         self.indices = list(indices)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.process_shard = process_shard
         self._rs = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -60,30 +62,49 @@ class BatchLoader:
             chunk = order[start:start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
+            if self.process_shard:
+                # multi-host: the batch ORDER is identical on every host
+                # (seed-shared RNG); each host loads only its slice and
+                # parallel.distributed.global_batch assembles the global
+                # array — no host materializes the full batch
+                import jax
+                pid, nproc = jax.process_index(), jax.process_count()
+                if nproc > 1:
+                    assert len(chunk) % nproc == 0, (
+                        f"global batch {len(chunk)} must divide over "
+                        f"{nproc} processes (use drop_last or a "
+                        f"divisible batch size)")
+                    chunk = chunk[pid::nproc]
             yield self.dataset.stack(chunk)
 
 
 def _make_loaders(dataset: StrokeDataset3D, fold_indices: Sequence[int],
-                  ratio: float, seed: int, batchsize: int, split: bool):
+                  ratio: float, seed: int, batchsize: int, split: bool,
+                  process_shard: bool = False):
     train_idx, valid_idx = fold_split(len(dataset), fold_indices,
                                       ratio if split else 0.0, seed)
     train = BatchLoader(dataset, train_idx, batchsize, shuffle=True,
-                        seed=seed)
+                        seed=seed, process_shard=process_shard)
     valid = (BatchLoader(dataset, valid_idx, batchsize, shuffle=True,
-                         seed=seed) if split and valid_idx else None)
+                         seed=seed, process_shard=process_shard)
+             if split and valid_idx else None)
     return train, valid
 
 
 def get_stroke_shape_training_data(dataset, fold_indices, ratio, seed=4,
-                                   batchsize=2, split=True):
+                                   batchsize=2, split=True,
+                                   process_shard=False):
     """reference: common/data.py:175-182."""
-    return _make_loaders(dataset, fold_indices, ratio, seed, batchsize, split)
+    return _make_loaders(dataset, fold_indices, ratio, seed, batchsize, split,
+                         process_shard)
 
 
 def get_stroke_prediction_training_data(dataset, fold_indices, ratio, seed=4,
-                                        batchsize=2, split=True):
+                                        batchsize=2, split=True,
+                                        process_shard=False):
     """reference: common/data.py:185-192."""
-    return _make_loaders(dataset, fold_indices, ratio, seed, batchsize, split)
+    return _make_loaders(dataset, fold_indices, ratio, seed, batchsize, split,
+                         process_shard)
 
 
 def get_testdata(dataset, indices, seed=None, shuffle=True) -> BatchLoader:

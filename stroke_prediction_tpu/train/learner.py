@@ -135,7 +135,21 @@ class Learner:
         pass
 
     def batch_to_device(self, batch):
-        """Host batch dict -> device arrays (optionally sharded)."""
+        """Host batch dict -> device arrays (optionally sharded).
+
+        Multi-host: when more than one JAX process participates, the
+        incoming batch is this host's process-local shard (the loader's
+        ``process_shard``); the global array is assembled across hosts
+        without any host holding the full batch."""
+        if self._mesh is not None and jax.process_count() > 1:
+            from stroke_prediction_tpu.parallel.distributed import (
+                global_batch)
+            out = global_batch(
+                self._mesh,
+                {k: batch.get(k) for k in (KEY_IMAGES, KEY_LABELS,
+                                           KEY_GLOBAL)})
+            out[KEY_CASE_ID] = batch.get(KEY_CASE_ID)
+            return out
         out = {}
         for k in (KEY_IMAGES, KEY_LABELS, KEY_GLOBAL):
             v = batch.get(k)
@@ -195,8 +209,15 @@ class Learner:
         return {"params": self._state.params,
                 "batch_stats": self._state.batch_stats}
 
+    def _is_lead(self) -> bool:
+        """Multi-host: only process 0 writes artifacts (params are
+        replicated, so every process holds the same state)."""
+        return jax.process_index() == 0
+
     def save_model(self, suffix: str = ""):
         """reference: Learner.py:112-114."""
+        if not self._is_lead():
+            return
         ckpt.save_checkpoint(self.path("save", "model", suffix),
                              self._state_dict(), self.model_config())
 
@@ -207,6 +228,8 @@ class Learner:
 
     def save_training(self):
         """reference: Learner.py:104-110."""
+        if not self._is_lead():
+            return
         ckpt.save_checkpoint(self.path("save", "optim"),
                              {"opt_state": self._state.opt_state})
         ckpt.save_curves(self.path("save", "train"), self._metric_dtos)
@@ -305,9 +328,10 @@ class Learner:
                 self.save_model()
                 self.save_training()
                 print("(New optimum: Training saved)", end=" ")
-                self.visualize_epoch(epoch)
+                if self._is_lead():
+                    self.visualize_epoch(epoch)
 
-            if epoch % 50 == 0:
+            if epoch % 50 == 0 and self._is_lead():
                 self.visualize_epoch(epoch)
 
             # ------------- (4) PLOT / SAVE EVALUATION METRICS ------------
@@ -316,9 +340,12 @@ class Learner:
 
         # ----------------- (5) SAVE FINAL MODEL / VISUALIZE --------------
         self.save_model("_final")
-        self.visualize_epoch(epoch)
+        if self._is_lead():
+            self.visualize_epoch(epoch)
 
     def _plot_curves(self, epoch):
+        if not self._is_lead():
+            return
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt

@@ -62,6 +62,21 @@ class ExpParser(argparse.ArgumentParser):
                           help="Capture a jax.profiler device trace of one "
                                "training epoch (the second, post-compile) "
                                "into LOGDIR")
+        self.add_argument("--distributed", action="store_true",
+                          default=False,
+                          help="Initialize the JAX multi-host runtime "
+                               "(auto-detected coordinator on TPU pods; "
+                               "see --coordinator/--nprocs/--procid)")
+        self.add_argument("--coordinator", type=str, default=None,
+                          metavar="HOST:PORT",
+                          help="Distributed coordinator address (omit on "
+                               "TPU pods for auto-detection)")
+        self.add_argument("--nprocs", type=int, default=None,
+                          help="Distributed process count (omit on TPU "
+                               "pods)")
+        self.add_argument("--procid", type=int, default=None,
+                          help="This process's distributed rank (omit on "
+                               "TPU pods)")
 
     def parse_args(self, args=None, namespace=None):
         ns = super().parse_args(args, namespace)
