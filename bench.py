@@ -1,17 +1,21 @@
-"""Benchmark: 3-D U-Net training throughput (volumes/sec/chip) on TPU
-versus the PyTorch-CPU reference equivalent.
+"""Benchmark: training throughput (volumes/sec/chip) on TPU versus the
+PyTorch-CPU reference equivalent, for BOTH headline configs:
 
-Metric (BASELINE.json): volumes/sec/chip on the 3-D U-Net training step at
-the reference config of record — channels (2, 16, 32, 64, 32, 16, 32, 2),
-batch 6, random patches 104x104x68 from padded 168x168x68 volumes, Dice
-loss, Adam.  Our step includes the on-device random-patch augmentation;
-the torch baseline includes only forward+backward+step (its host-side
-augmentation would make it slower still).
+  * 3-D U-Net at the config of record — channels
+    (2, 16, 32, 64, 32, 16, 32, 2), batch 6, random 104x104x68 patches,
+    Dice loss, Adam (the primary metric; BASELINE.json config #1).  Our
+    step includes the on-device random-patch augmentation; the torch
+    baseline includes only forward+backward+step.
+  * CAE shape reconstruction at the config of record — channels
+    (1, 16, 24, 32, 100, 200, 1), batch 4, 28x128x128 masks, curriculum
+    Dice+hinge loss (BASELINE.json config #2; the flagship model),
+    reported as extra keys on the same line.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N,
+   "cae_value": N, "cae_vs_baseline": N}
 
-The torch-CPU baseline is measured once and cached in
+The torch-CPU baselines are measured once and cached in
 BASELINE_MEASURED.json (delete the file to re-measure).
 """
 
@@ -20,6 +24,8 @@ from __future__ import annotations
 import json
 import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 BATCH = int(os.environ.get("BENCH_BATCH", "6"))
 PATCH = (104, 104, 68)          # W, H, D
@@ -105,6 +111,123 @@ def measure_tpu(steps: int = 20) -> float:
     return BATCH / dt
 
 
+CHANNELS_CAE = (1, 16, 24, 32, 100, 200, 1)
+BATCH_CAE = int(os.environ.get("BENCH_BATCH_CAE", "4"))
+VOL_CAE = (28, 128, 128)        # D, H, W
+
+
+def measure_tpu_cae(steps: int = 10) -> float:
+    """CAE reconstruction train step (encoder x3 + decoder x4 per step,
+    reference common/model/Cae3D.py:39-239) at the config of record."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from stroke_prediction_tpu.core.dto import BRANCH_GTRUTH
+    from stroke_prediction_tpu.eval.metrics import (
+        batch_dice_loss, monotonicity_hinge)
+    from stroke_prediction_tpu.inference import cae_dto_from_batch
+    from stroke_prediction_tpu.models.cae3d import Cae3D, Dec3D, Enc3D
+    from stroke_prediction_tpu.train.learner import TrainState
+    from stroke_prediction_tpu.train.optim import make_optimizer
+
+    cd = jnp.dtype(COMPUTE_DTYPE)
+    cae = Cae3D(enc=Enc3D(channels=CHANNELS_CAE, compute_dtype=cd),
+                dec=Dec3D(channels=CHANNELS_CAE, compute_dtype=cd))
+    tx = make_optimizer(1e-3, betas=(0.9, 0.999), weight_decay=1e-5)
+
+    d, h, w = VOL_CAE
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray((rng.rand(BATCH_CAE, d, h, w, 3) > 0.7),
+                         jnp.float32)
+    clin = jnp.asarray(rng.rand(BATCH_CAE, 5), jnp.float32)
+    dto = cae_dto_from_batch(None, labels, clin)
+    variables = cae.init(jax.random.PRNGKey(0), dto, BRANCH_GTRUTH, False)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def train_step(state, labels, clin):
+        dto = cae_dto_from_batch(None, labels, clin)
+
+        def loss_fn(params):
+            out, mut = cae.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                dto, BRANCH_GTRUTH, True, mutable=["batch_stats"])
+            rec = out.reconstructions.gtruth
+            gt = out.given_variables.gtruth
+            loss = (monotonicity_hinge(rec.penu - rec.interpolation)
+                    + monotonicity_hinge(rec.penu - rec.core)
+                    + batch_dice_loss(rec.core, gt.core)
+                    + batch_dice_loss(rec.penu, gt.penu)
+                    + batch_dice_loss(rec.lesion, gt.lesion)) / 5.0
+            return loss, mut
+
+        (loss, mut), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             batch_stats=mut["batch_stats"],
+                             step=state.step + 1), loss
+
+    state, loss = train_step(state, labels, clin)
+    _ = float(loss)
+    state, loss = train_step(state, labels, clin)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for _i in range(steps):
+        state, loss = train_step(state, labels, clin)
+    _ = float(loss)
+    dt = (time.perf_counter() - t0) / steps
+    return BATCH_CAE / dt
+
+
+def measure_torch_cpu_cae_baseline(steps: int = 1) -> float:
+    """Reference-equivalent PyTorch-CPU CAE train step (same arch as the
+    parity trainer, batch 1 scaled)."""
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import torch
+
+    from parity_torch import TorchDec3D, TorchEnc3D, dice_loss, hinge
+
+    torch.manual_seed(0)
+    enc = TorchEnc3D(CHANNELS_CAE)
+    dec = TorchDec3D(CHANNELS_CAE)
+    params = list(enc.parameters()) + list(dec.parameters())
+    opt = torch.optim.Adam(params, lr=1e-3, weight_decay=1e-5,
+                           betas=(0.9, 0.999))
+    d, h, w = VOL_CAE
+    labels = (torch.rand(1, 3, d, h, w) > 0.7).float()
+    t = torch.rand(1, 1, 1, 1, 1) * 0.5
+
+    def step():
+        opt.zero_grad()
+        zc = enc(labels[:, 0:1])
+        zp = enc(labels[:, 1:2])
+        zl = enc(labels[:, 2:3])
+        zi = zc + t * (zp - zc)
+        rc, rp, rl, ri = dec(zc), dec(zp), dec(zl), dec(zi)
+        loss = (hinge(rp - ri) + hinge(rp - rc)
+                + dice_loss(rc, labels[:, 0:1])
+                + dice_loss(rp, labels[:, 1:2])
+                + dice_loss(rl, labels[:, 2:3])) / 5.0
+        loss.backward()
+        opt.step()
+
+    step()                       # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = (time.perf_counter() - t0) / steps
+    return 1.0 / dt              # volumes/sec on CPU
+
+
 def measure_torch_cpu_baseline(steps: int = 1) -> float:
     """Reference-equivalent PyTorch-CPU U-Net train step (same arch,
     batch 1 scaled: CPU time is linear in batch)."""
@@ -177,26 +300,42 @@ def measure_torch_cpu_baseline(steps: int = 1) -> float:
     return bs / dt               # volumes/sec on CPU
 
 
-def get_baseline() -> float:
+def get_baselines() -> dict:
+    data = {}
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            return json.load(f)["torch_cpu_volumes_per_sec"]
-    v = measure_torch_cpu_baseline()
-    with open(BASELINE_FILE, "w") as f:
-        json.dump({"torch_cpu_volumes_per_sec": v,
-                   "config": {"channels": list(CHANNELS), "patch": PATCH,
-                              "batch_scaling": "measured bs=1, linear"}}, f)
-    return v
+            data = json.load(f)
+    changed = False
+    if "torch_cpu_volumes_per_sec" not in data:
+        data["torch_cpu_volumes_per_sec"] = measure_torch_cpu_baseline()
+        data["config"] = {"channels": list(CHANNELS), "patch": PATCH,
+                          "batch_scaling": "measured bs=1, linear"}
+        changed = True
+    if "torch_cpu_cae_volumes_per_sec" not in data:
+        data["torch_cpu_cae_volumes_per_sec"] = \
+            measure_torch_cpu_cae_baseline()
+        data["config_cae"] = {"channels": list(CHANNELS_CAE),
+                              "volume": VOL_CAE,
+                              "batch_scaling": "measured bs=1, linear"}
+        changed = True
+    if changed:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(data, f)
+    return data
 
 
 def main():
     tpu = measure_tpu()
-    base = get_baseline()
+    cae = measure_tpu_cae()
+    base = get_baselines()
     print(json.dumps({
         "metric": "unet3d_train_volumes_per_sec_per_chip",
         "value": round(tpu, 3),
         "unit": "volumes/sec/chip",
-        "vs_baseline": round(tpu / base, 2),
+        "vs_baseline": round(tpu / base["torch_cpu_volumes_per_sec"], 2),
+        "cae_value": round(cae, 3),
+        "cae_vs_baseline": round(
+            cae / base["torch_cpu_cae_volumes_per_sec"], 2),
     }))
 
 

@@ -52,7 +52,7 @@ def train(args):
         patch_whd=patch, pad_xyz=pad,
         path_previous_base=args.inbasepath,
         path_outputs_base=args.outbasepath, seed=args.seed,
-        metrics_with_distances=not args.fastmetrics,
+        metrics_with_distances=args.distances,
         profile_dir=args.profile,
         mesh=make_mesh(args))
     learner.run_training()

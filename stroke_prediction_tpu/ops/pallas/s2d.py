@@ -347,6 +347,7 @@ def _s2d_conv_p(cells, wmats, brow, *, modes, act, alpha, in_logical,
                                lambda b, d: (b, d, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, dco, hco, wcp, co8), out_dtype),
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(*([cells] * nz), wmats, brow)
     return out
@@ -416,13 +417,89 @@ def _bwd_kernel(*refs, nz: int, hco: int, hci: int, wpi: int, wcx: int,
                         preferred_element_type=jnp.float32)
 
 
+def _dx_kernel(*refs, nz: int, hci: int, wpi: int, c8: int,
+               dx_logical, cin_real: int, interpret: bool):
+    """dx only: the dual conv on the cell-padded cotangent (the first
+    half of :func:`_bwd_kernel`), used when the fused pass would exceed
+    the TPU's scoped-VMEM limit (full-resolution decoder layers)."""
+    g_refs = refs[:nz]
+    wd_ref, dx_ref = refs[nz], refs[nz + 1]
+    d = pl.program_id(1)
+    acc = None
+    for zi in range(nz):
+        base = g_refs[zi][0, 0]
+        rolled = _roll_w(base, interpret)
+        for qy in range(2):
+            for qx, xv in ((0, base), (1, rolled)):
+                rows = xv[qy:qy + hci].reshape(hci * wpi, base.shape[-1])
+                part = jnp.dot(rows, wd_ref[(zi * 2 + qy) * 2 + qx],
+                               preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+    y = acc.reshape(hci, wpi, c8)
+    di, hi, wi = dx_logical
+    cid = jax.lax.broadcasted_iota(jnp.int32, (hci, wpi, c8), 2)
+    hid = jax.lax.broadcasted_iota(jnp.int32, (hci, wpi, c8), 0)
+    wid = jax.lax.broadcasted_iota(jnp.int32, (hci, wpi, c8), 1)
+    pz = (cid // (4 * cin_real)) % 2
+    py = (cid // (2 * cin_real)) % 2
+    px = (cid // cin_real) % 2
+    ok = ((2 * d + pz < di) & (2 * hid + py < hi) & (2 * wid + px < wi)
+          & (cid < 8 * cin_real))
+    dx_ref[:] = jnp.where(ok, y, 0.0).reshape(
+        1, 1, hci, wpi, c8).astype(dx_ref.dtype)
+
+
+def _dw_kernel(*refs, nz: int, hco: int, wcx: int, c8: int, co8: int,
+               interpret: bool):
+    """dW only: per-g-cell (tap view x cotangent) accumulation (the
+    second half of :func:`_bwd_kernel`)."""
+    g_ref = refs[0]
+    x_refs = refs[1:1 + nz]
+    dw_ref = refs[1 + nz]
+    bi, d = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(bi == 0, d == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    gblk = g_ref[0, 0]
+    grows = _roll_w(gblk, interpret)[1:1 + hco, :wcx, :]
+    grows = grows.reshape(hco * wcx, co8)
+    for zi in range(nz):
+        base = x_refs[zi][0, 0]
+        rolled = _roll_w(base, interpret)
+        for qy in range(2):
+            for qx, xv in ((0, base), (1, rolled)):
+                rows = xv[qy:qy + hco].reshape(hco * wcx, c8)
+                qi = (zi * 2 + qy) * 2 + qx
+                dw_ref[qi] += jax.lax.dot_general(
+                    rows, grows, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+
+def _compiler_params():
+    """Raise Mosaic's default 16MB scoped-VMEM ceiling: the CAE's
+    full-resolution decoder layers legitimately stage ~20MB of
+    double-buffered blocks (v5e has 128MB VMEM)."""
+    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+# Budget for one grid step of the FUSED bwd kernel (the estimate below
+# undercounts Pallas' double buffering by ~2x, hence the headroom vs the
+# 96MB ceiling); past it the pass splits into separate dx / dW kernels,
+# each roughly half the footprint, paying one extra DMA sweep of the
+# cotangent
+_BWD_FUSED_VMEM_BUDGET = 40 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit, static_argnames=("modes", "in_logical", "cin", "interpret"))
 def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret):
-    """Fused dx+dW pallas pass.  gpad: cell-padded masked cotangent
-    (B, dzo+2*, hpo+2, wpi, co8) (* z already padded per mode); xz: the
-    (z-padded for 's') forward input cells (B, dzi*, hci, wcx, c8);
-    wd: dual superpatch weights (nq, co8, c8).
+    """dx+dW pallas pass — fused when the blocks fit the scoped-VMEM
+    budget, split into two kernels otherwise.  gpad: cell-padded masked
+    cotangent (B, dzo+2*, hpo+2, wpi, co8) (* z already padded per
+    mode); xz: the (z-padded for 's') forward input cells
+    (B, dzi*, hci, wcx, c8); wd: dual superpatch weights (nq, co8, c8).
     Returns (dx_cells (B, dzi, hci, wpi, c8), dwq (nq, c8, co8) f32)."""
     d, h, w, _ = in_logical
     dzi, hci = _cells(d), _cells(h)
@@ -434,11 +511,6 @@ def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret):
     nq = nz * 4
     assert wd.shape[0] == nq, (wd.shape, nq)
     wce = min(wcx, wpi)
-
-    kern = functools.partial(
-        _bwd_kernel, nz=nz, hco=hci - 1, hci=hci, wpi=wpi, wcx=wce,
-        c8=c8, co8=co8, dco=dco, dx_logical=(d, h, w), cin_real=cin,
-        interpret=interpret)
 
     def gspec(qz):
         return pl.BlockSpec((1, 1, hpi, wpi, co8),
@@ -453,23 +525,65 @@ def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret):
             lambda b, d, qz=qz: (b, jnp.minimum(d + qz, dzx - 1), 0, 0, 0),
             memory_space=pltpu.VMEM)
 
-    dx, dwq = pl.pallas_call(
-        kern,
+    wd_spec = pl.BlockSpec((nq, co8, c8), lambda b, d: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dx_spec = pl.BlockSpec((1, 1, hci, wpi, c8),
+                           lambda b, d: (b, d, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dw_spec = pl.BlockSpec((nq, c8, co8), lambda b, d: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dx_shape = jax.ShapeDtypeStruct((b, dzi, hci, wpi, c8), xz.dtype)
+    dw_shape = jax.ShapeDtypeStruct((nq, c8, co8), jnp.float32)
+
+    esz = jnp.dtype(gpad.dtype).itemsize
+    fused_bytes = (nz * (hpi * wpi * co8 + hci * wcx * c8) * esz  # refs
+                   + hci * wpi * c8 * esz                         # dx out
+                   + 2 * nq * co8 * c8 * esz                      # wd + dw
+                   + hci * wpi * max(c8, co8) * (4 + esz))        # acc+roll
+    if fused_bytes <= _BWD_FUSED_VMEM_BUDGET:
+        kern = functools.partial(
+            _bwd_kernel, nz=nz, hco=hci - 1, hci=hci, wpi=wpi, wcx=wce,
+            c8=c8, co8=co8, dco=dco, dx_logical=(d, h, w), cin_real=cin,
+            interpret=interpret)
+        dx, dwq = pl.pallas_call(
+            kern,
+            grid=(b, dzi),
+            in_specs=[gspec(qz) for qz in range(nz)]
+            + [xspec(qz) for qz in range(nz)] + [wd_spec],
+            out_specs=(dx_spec, dw_spec),
+            out_shape=(dx_shape, dw_shape),
+            compiler_params=None if interpret else _compiler_params(),
+            interpret=interpret,
+        )(*([gpad] * nz), *([xz] * nz), wd)
+        return dx, dwq
+
+    dx = pl.pallas_call(
+        functools.partial(_dx_kernel, nz=nz, hci=hci, wpi=wpi, c8=c8,
+                          dx_logical=(d, h, w), cin_real=cin,
+                          interpret=interpret),
         grid=(b, dzi),
-        in_specs=[gspec(qz) for qz in range(nz)]
-        + [xspec(qz) for qz in range(nz)] + [
-            pl.BlockSpec((nq, co8, c8), lambda b, d: (0, 0, 0),
-                         memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((1, 1, hci, wpi, c8), lambda b, d: (b, d, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq, c8, co8), lambda b, d: (0, 0, 0),
-                         memory_space=pltpu.VMEM)),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, dzi, hci, wpi, c8), xz.dtype),
-            jax.ShapeDtypeStruct((nq, c8, co8), jnp.float32)),
+        in_specs=[gspec(qz) for qz in range(nz)] + [wd_spec],
+        out_specs=dx_spec,
+        out_shape=dx_shape,
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(*([gpad] * nz), *([xz] * nz), wd)
+    )(*([gpad] * nz), wd)
+
+    def gspec_dw(b_, d_):
+        return (b_, d_ + 1, 0, 0, 0)
+
+    dwq = pl.pallas_call(
+        functools.partial(_dw_kernel, nz=nz, hco=hci - 1, wcx=wce, c8=c8,
+                          co8=co8, interpret=interpret),
+        grid=(b, dco),
+        in_specs=[pl.BlockSpec((1, 1, hpi, wpi, co8), gspec_dw,
+                               memory_space=pltpu.VMEM)]
+        + [xspec(qz) for qz in range(nz)],
+        out_specs=dw_spec,
+        out_shape=dw_shape,
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(gpad, *([xz] * nz))
     return dx, dwq
 
 

@@ -53,10 +53,17 @@ class ExpParser(argparse.ArgumentParser):
                           choices=["bfloat16", "float32"],
                           help="Model compute dtype (params stay float32)")
         self.add_argument("--fastmetrics", action="store_true",
-                          default=False,
+                          default=True,
                           help="Skip in-graph HD/ASSD during training "
-                               "epochs (testers keep them); big compile/"
-                               "step savings, Dice etc. unaffected")
+                               "epochs (testers keep them); the default — "
+                               "the O(n^2) surface-distance pass makes "
+                               "first-epoch compiles take minutes (use "
+                               "--distances to restore them)")
+        self.add_argument("--distances", action="store_true",
+                          default=False,
+                          help="Compute HD/ASSD every training/validation "
+                               "batch like the reference (medpy per batch); "
+                               "slow compiles on the CAE configs")
         self.add_argument("--profile", type=str, default=None,
                           metavar="LOGDIR",
                           help="Capture a jax.profiler device trace of one "

@@ -247,3 +247,35 @@ def test_batch_stats_and_fold(rng):
     got = _ref_conv(x, k2, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_s2d_conv_grads_split_bwd(rng, monkeypatch):
+    """The large-layer backward path (separate dx / dW kernels when the
+    fused pass would exceed the scoped-VMEM budget) must produce the
+    same gradients.  Forced via a zero budget; distinctive shape so the
+    jit cache cannot return the fused lowering."""
+    from stroke_prediction_tpu.ops.pallas import s2d as s2d_mod
+    monkeypatch.setattr(s2d_mod, "_BWD_FUSED_VMEM_BUDGET", 0)
+    b, d, h, w, ci, co = 1, 5, 11, 13, 3, 4
+    x = _rand(rng, b, d, h, w, ci)
+    k = _rand(rng, 3, 3, 3, ci, co) * 0.3
+    bias = jnp.asarray(rng.rand(co), jnp.float32) * 0.1
+
+    for modes, pads in ((("v", "v", "v"), (0, 0, 0)),
+                        (("s", "v", "v"), (1, 0, 0))):
+        def loss_s2d(x, k, bias):
+            out = s2d_conv(s2d_pack(x, jnp.float32), k, bias, act="elu",
+                           modes=modes)
+            return jnp.sum(s2d_unpack(out).astype(jnp.float32) ** 2)
+
+        def loss_ref(x, k, bias):
+            y = _ref_conv(x, k, bias, "elu", alpha=0.01, pads=pads,
+                          dtype=jnp.float32)
+            return jnp.sum(y ** 2)
+
+        g_s2d = jax.grad(loss_s2d, argnums=(0, 1, 2))(x, k, bias)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, bias)
+        for got, ref, name in zip(g_s2d, g_ref, ("dx", "dk", "db")):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-3,
+                err_msg=f"{modes} {name}")

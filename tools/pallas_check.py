@@ -34,11 +34,11 @@ def timed(f, *a, n=10):
     return (time.perf_counter() - t0) / n, o
 
 
-def ref_conv(x, k, b, act, alpha, zpad):
+def ref_conv(x, k, b, act, alpha, zpad, dtype=jnp.bfloat16):
     if zpad:
         x = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     y = lax.conv_general_dilated(
-        x.astype(jnp.bfloat16), k.astype(jnp.bfloat16), (1, 1, 1), "VALID",
+        x.astype(dtype), k.astype(dtype), (1, 1, 1), "VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=jnp.float32) + b
     if act == "leaky_relu":
@@ -73,7 +73,10 @@ def main():
             return jnp.sum(f_s2d(x, k, bias).astype(jnp.float32) ** 2)
 
         def loss_ref(x, k, bias):
-            return jnp.sum(ref_conv(x, k, bias, act, 0.01, zpad) ** 2)
+            # f32 for the grad reference: the bf16 conv's transpose rule
+            # rejects the f32 cotangent
+            return jnp.sum(
+                ref_conv(x, k, bias, act, 0.01, zpad, jnp.float32) ** 2)
 
         jf = jax.jit(f_s2d)
         jr = jax.jit(lambda x, k, b: ref_conv(x, k, b, act, 0.01, zpad))
