@@ -36,16 +36,30 @@ lane-preserving sublane roll (W, ``pltpu.roll``); one accumulated MXU
 matmul per tap ``(rows, 8*C_in) @ (8*C_in, 8*C_out)``; bias + activation
 (none / leaky_relu / elu) + garbage masking fused.
 
-The custom VJP stays in the s2d domain end-to-end: dx is the SAME kernel
-with the flipped/transposed superpatch weights on the cell-padded
-cotangent (full correlation), dW is 8 XLA dot_generals over the s2d
-operands folded back onto the 27 taps, and activation gradients are
-recovered from the saved OUTPUT (LeakyReLU sign trick; ELU via
-``dy = y + alpha`` for y < 0) so no pre-activation tensor is stored.
+The custom VJP stays in the s2d domain end-to-end: one fused Pallas pass
+(:func:`_s2d_conv_bwd_p`) computes dx — the dual conv with the
+flipped/transposed superpatch weights on the cell-padded cotangent (full
+correlation) — AND accumulates dW from (tap view x cotangent) products
+per grid step in VMEM, folded back onto the 27 taps afterwards; for
+layers whose blocks exceed the scoped-VMEM budget the pass splits into
+separate dx / dW kernels.  Activation gradients are recovered from the
+saved OUTPUT (LeakyReLU sign trick; ELU via ``dy = y + alpha`` for
+y < 0) so no pre-activation tensor is stored.
 
 BatchNorm is folded into (kernel, bias) by the caller OUTSIDE the kernel
-(models/layers.py): ``conv(x*s + t) == conv_{k*s}(x) + t @ sum_taps(k)``,
-exact and differentiable, so BN -> conv -> act is one device op.
+(models/layers.py) for VALID convs:
+``conv(x*s + t) == conv_{k*s}(x) + t @ sum_taps(k)``, exact and
+differentiable, so BN -> conv -> act is one device op.  Padded convs
+apply the affine masked on the input instead (:func:`s2d_affine`) —
+folding would let the shifted bias fire at zero-padded boundary taps.
+
+Beyond the stride-1 kernel, the engine covers the models' whole conv
+vocabulary in-domain: stride-2 convs (:func:`s2d_conv_stride2`),
+stride-2 transposed convs emitting cells directly
+(:func:`ct_stride2_to_s2d`), 1^3 convs as block-diagonal lane matmuls
+(:func:`s2d_conv1x1`), maxpool as a channel-group max
+(:func:`s2d_pool2`), and fused crop/unpack exits
+(:func:`s2d_crop_unpack`).
 
 Reference compute being replaced: common/model/Unet3D.py:14-54 and
 common/model/Cae3D.py:39-239 (torch Conv3d/cuDNN).
