@@ -132,20 +132,41 @@ class LargeUnet3D(nn.Module):
         _, b1, b2, b3, b4, b5, b6, b7, b_c, n_classes = self.channels
         kw = dict(axis_name=self.axis_name, compute_dtype=self.compute_dtype)
 
-        r1 = UnetBlock(b1, **kw)(x, train)
-        r2 = UnetBlock(b2, **kw)(max_pool3d(r1), train)
-        r3 = UnetBlock(b3, **kw)(max_pool3d(r2), train)
-        r4 = UnetBlock(b4, **kw)(max_pool3d(r3), train)
+        if conv_impl() == "pallas_s2d":
+            cd = self.compute_dtype
+            r1 = UnetBlock(b1, **kw)(s2d_pack(x.astype(cd)), train)
+            r2 = UnetBlock(b2, **kw)(s2d_pack(s2d_pool2(r1)), train)
+            r3 = UnetBlock(b3, **kw)(s2d_pack(s2d_pool2(r2)), train)
+            r4 = UnetBlock(b4, **kw)(s2d_pack(s2d_pool2(r3)), train)
 
-        u = upsample2x_trilinear(r4)
-        r5 = UnetBlock(b5, **kw)(
-            jnp.concatenate([u, center_crop(r3, u.shape[1:4])], axis=-1), train)
-        u = upsample2x_trilinear(r5)
-        r6 = UnetBlock(b6, **kw)(
-            jnp.concatenate([u, center_crop(r2, u.shape[1:4])], axis=-1), train)
-        u = upsample2x_trilinear(r6)
-        r7 = UnetBlock(b7, **kw)(
-            jnp.concatenate([u, center_crop(r1, u.shape[1:4])], axis=-1), train)
+            u = upsample2x_trilinear(s2d_unpack(r4))
+            r5 = UnetBlock(b5, **kw)(s2d_pack(jnp.concatenate(
+                [u, s2d_center_crop(r3, u.shape[1:4])], axis=-1)), train)
+            u = upsample2x_trilinear(s2d_unpack(r5))
+            r6 = UnetBlock(b6, **kw)(s2d_pack(jnp.concatenate(
+                [u, s2d_center_crop(r2, u.shape[1:4])], axis=-1)), train)
+            u = upsample2x_trilinear(s2d_unpack(r6))
+            r7 = UnetBlock(b7, **kw)(s2d_pack(jnp.concatenate(
+                [u, s2d_center_crop(r1, u.shape[1:4])], axis=-1)), train)
+            r7 = s2d_unpack(r7)
+        else:
+            r1 = UnetBlock(b1, **kw)(x, train)
+            r2 = UnetBlock(b2, **kw)(max_pool3d(r1), train)
+            r3 = UnetBlock(b3, **kw)(max_pool3d(r2), train)
+            r4 = UnetBlock(b4, **kw)(max_pool3d(r3), train)
+
+            u = upsample2x_trilinear(r4)
+            r5 = UnetBlock(b5, **kw)(
+                jnp.concatenate([u, center_crop(r3, u.shape[1:4])], axis=-1),
+                train)
+            u = upsample2x_trilinear(r5)
+            r6 = UnetBlock(b6, **kw)(
+                jnp.concatenate([u, center_crop(r2, u.shape[1:4])], axis=-1),
+                train)
+            u = upsample2x_trilinear(r6)
+            r7 = UnetBlock(b7, **kw)(
+                jnp.concatenate([u, center_crop(r1, u.shape[1:4])], axis=-1),
+                train)
 
         h = Conv3d(b_c, (1, 1, 1), compute_dtype=self.compute_dtype)(r7)
         h = leaky_relu(h, 0.01)

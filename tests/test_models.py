@@ -193,3 +193,38 @@ class TestS2dImplParity:
         rng = np.random.RandomState(1)
         z = jnp.asarray(rng.rand(1, 1, 5, 5, 6) * 0.5, jnp.float32)
         self._run(monkeypatch, DecoderStack, z)
+
+
+class TestUnetS2dImplParity:
+    """Full-model impl parity at f32 for both U-Net variants (the CAE
+    stacks are covered above)."""
+
+    def _check(self, monkeypatch, model, x):
+        outs = {}
+        for impl in ("lax2d", "pallas_s2d"):
+            monkeypatch.setenv("STROKE_TPU_CONV_IMPL", impl)
+            v = model.init(jax.random.PRNGKey(0), x, train=False)
+            keys = [jax.tree_util.keystr(k) for k, _ in
+                    jax.tree_util.tree_leaves_with_path(v)]
+            outs[impl] = (keys, v)
+        k1, v1 = outs["lax2d"]
+        k2, _ = outs["pallas_s2d"]
+        assert k1 == k2
+        monkeypatch.setenv("STROKE_TPU_CONV_IMPL", "lax2d")
+        y1 = model.apply(v1, x, train=False)
+        monkeypatch.setenv("STROKE_TPU_CONV_IMPL", "pallas_s2d")
+        y2 = model.apply(v1, x, train=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_unet3d(self, monkeypatch):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 44, 44, 44, 2), jnp.float32)
+        self._check(monkeypatch, Unet3D(channels=CHANNELS_UNET), x)
+
+    def test_large_unet3d(self, monkeypatch):
+        from stroke_prediction_tpu.models.unet3d import LargeUnet3D
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.rand(1, 92, 92, 92, 2), jnp.float32)
+        self._check(monkeypatch,
+                    LargeUnet3D(channels=(2, 3, 4, 5, 6, 5, 4, 3, 4, 2)), x)
