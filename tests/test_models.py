@@ -228,3 +228,28 @@ class TestUnetS2dImplParity:
         x = jnp.asarray(rng.rand(1, 92, 92, 92, 2), jnp.float32)
         self._check(monkeypatch,
                     LargeUnet3D(channels=(2, 3, 4, 5, 6, 5, 4, 3, 4, 2)), x)
+
+
+def test_cae_stacks_eval_mode_parity(monkeypatch):
+    """Eval mode uses BN running statistics (fold-from-stored-stats in
+    the s2d path) — parity vs lax at f32 after a training step has
+    moved the stats."""
+    from stroke_prediction_tpu.models.cae3d import DecoderStack, EncoderStack
+    rng = np.random.RandomState(2)
+    for Stack, inp in (
+            (EncoderStack, jnp.asarray(rng.rand(1, 28, 64, 64, 1),
+                                       jnp.float32)),
+            (DecoderStack, jnp.asarray(rng.rand(1, 1, 5, 5, 12) * 0.5,
+                                       jnp.float32))):
+        m = Stack(CHANNELS_CAE_WIDE, compute_dtype=jnp.float32)
+        monkeypatch.setenv("STROKE_TPU_CONV_IMPL", "lax2d")
+        v = m.init(jax.random.PRNGKey(0), inp, train=True)
+        # move the running stats off their init values
+        _, upd = m.apply(v, inp, train=True, mutable=["batch_stats"])
+        v = {**v, "batch_stats": upd["batch_stats"]}
+        y1 = m.apply(v, inp, train=False)
+        monkeypatch.setenv("STROKE_TPU_CONV_IMPL", "pallas_s2d")
+        y2 = m.apply(v, inp, train=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=2e-5, rtol=1e-4,
+                                   err_msg=Stack.__name__)
