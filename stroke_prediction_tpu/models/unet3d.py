@@ -25,7 +25,23 @@ from stroke_prediction_tpu.models.layers import (
 from stroke_prediction_tpu.ops import (
     center_crop, max_pool3d, upsample2x_trilinear)
 from stroke_prediction_tpu.ops.pallas.s2d import (
-    s2d_center_crop, s2d_pack, s2d_pool2, s2d_unpack)
+    s2d_center_crop, s2d_center_crop_cells, s2d_concat_channels, s2d_pack,
+    s2d_pool2, s2d_unpack, upsample2x_to_s2d)
+
+
+def _s2d_up_concat(r_low, r_skip, compute_dtype):
+    """Decoder-stage entry in the s2d domain: upsample the low-res
+    feature map directly into cells and lane-concat the in-cell cropped
+    skip — the full-resolution tensor is never re-laid-out.  Falls back
+    to the logical concat + pack when the crop offsets are odd (possible
+    for non-reference input geometries)."""
+    u = upsample2x_to_s2d(s2d_unpack(r_low).astype(compute_dtype))
+    skip = s2d_center_crop_cells(r_skip, u.logical[:3])
+    if skip is not None:
+        return s2d_concat_channels(u, skip)
+    ul = s2d_unpack(u)
+    return s2d_pack(jnp.concatenate(
+        [ul, s2d_center_crop(r_skip, ul.shape[1:4])], axis=-1))
 
 
 def unet_output_spatial(spatial: Sequence[int],
@@ -91,12 +107,8 @@ class Unet3D(nn.Module):
             r2 = UnetBlock(b2, **kw)(s2d_pack(s2d_pool2(r1)), train)
             r3 = UnetBlock(b3, **kw)(s2d_pack(s2d_pool2(r2)), train)
 
-            u3 = upsample2x_trilinear(s2d_unpack(r3))
-            r4 = UnetBlock(b4, **kw)(s2d_pack(jnp.concatenate(
-                [u3, s2d_center_crop(r2, u3.shape[1:4])], axis=-1)), train)
-            u4 = upsample2x_trilinear(s2d_unpack(r4))
-            r5 = UnetBlock(b5, **kw)(s2d_pack(jnp.concatenate(
-                [u4, s2d_center_crop(r1, u4.shape[1:4])], axis=-1)), train)
+            r4 = UnetBlock(b4, **kw)(_s2d_up_concat(r3, r2, cd), train)
+            r5 = UnetBlock(b5, **kw)(_s2d_up_concat(r4, r1, cd), train)
             r5 = s2d_unpack(r5)
         else:
             r1 = UnetBlock(b1, **kw)(x, train)
@@ -139,15 +151,9 @@ class LargeUnet3D(nn.Module):
             r3 = UnetBlock(b3, **kw)(s2d_pack(s2d_pool2(r2)), train)
             r4 = UnetBlock(b4, **kw)(s2d_pack(s2d_pool2(r3)), train)
 
-            u = upsample2x_trilinear(s2d_unpack(r4))
-            r5 = UnetBlock(b5, **kw)(s2d_pack(jnp.concatenate(
-                [u, s2d_center_crop(r3, u.shape[1:4])], axis=-1)), train)
-            u = upsample2x_trilinear(s2d_unpack(r5))
-            r6 = UnetBlock(b6, **kw)(s2d_pack(jnp.concatenate(
-                [u, s2d_center_crop(r2, u.shape[1:4])], axis=-1)), train)
-            u = upsample2x_trilinear(s2d_unpack(r6))
-            r7 = UnetBlock(b7, **kw)(s2d_pack(jnp.concatenate(
-                [u, s2d_center_crop(r1, u.shape[1:4])], axis=-1)), train)
+            r5 = UnetBlock(b5, **kw)(_s2d_up_concat(r4, r3, cd), train)
+            r6 = UnetBlock(b6, **kw)(_s2d_up_concat(r5, r2, cd), train)
+            r7 = UnetBlock(b7, **kw)(_s2d_up_concat(r6, r1, cd), train)
             r7 = s2d_unpack(r7)
         else:
             r1 = UnetBlock(b1, **kw)(x, train)

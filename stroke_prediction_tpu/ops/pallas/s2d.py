@@ -922,6 +922,93 @@ def s2d_conv1x1(s: S2d, kernel: jnp.ndarray, bias: jnp.ndarray,
     return S2d(out, out_log)
 
 
+def upsample2x_to_s2d(x: jnp.ndarray) -> S2d:
+    """2x trilinear upsample (align_corners, torch-0.3 ``Upsample`` —
+    reference Unet3D.py:44,46) emitted directly INTO the s2d cell
+    layout: the output cell grid equals the input voxel grid, so the op
+    is three pairs of per-output-parity axis matmuls (the resize matrix
+    split by row parity) plus one lane stack — the full-resolution
+    tensor never exists in logical layout and the decoder stages skip
+    their ``s2d_pack`` re-layout entirely."""
+    from stroke_prediction_tpu.ops.resize import _linear_matrix
+
+    b, d, h, w, c = x.shape
+    parts = {(): x}
+    for axis, n in ((1, d), (2, h), (3, w)):
+        A = _linear_matrix(n, 2 * n, True)
+        mats = (A[0::2], A[1::2])                     # (n, n) each
+        letters = "abcde"
+        axl = letters[axis]
+        spec = f"{letters},Z{axl}->{letters.replace(axl, 'Z')}"
+        new = {}
+        for key, v in parts.items():
+            for p in (0, 1):
+                wmat = jnp.asarray(mats[p], v.dtype)
+                new[key + (p,)] = jnp.einsum(
+                    spec, v, wmat, preferred_element_type=v.dtype)
+        parts = new
+    cells = jnp.concatenate(
+        [parts[(pz, py, px)]
+         for pz in (0, 1) for py in (0, 1) for px in (0, 1)], axis=-1)
+    wcp = _round_up(w, 8)
+    if wcp != w:
+        cells = jnp.pad(cells, ((0, 0), (0, 0), (0, 0), (0, wcp - w),
+                                (0, 0)))
+    L = _round_up(8 * c, 128)
+    if L != 8 * c:
+        cells = jnp.pad(cells, ((0, 0),) * 4 + ((0, L - 8 * c),))
+    return S2d(cells, (2 * d, 2 * h, 2 * w, c))
+
+
+def s2d_center_crop_cells(s: S2d,
+                          target_dhw: Sequence[int]) -> Optional[S2d]:
+    """Center-crop WITHIN the cell layout (no re-layout): possible when
+    every crop offset is even, so the cropped tensor's cells are a plain
+    slice of the source cells.  Returns None when misaligned (caller
+    falls back to the logical crop+pack path).  The result is re-masked
+    to restore the zero invariant (source-valid voxels beyond the target
+    extent must read as zero)."""
+    d, h, w, c = s.logical
+    td, th, tw = target_dhw
+    offs = ((d - td) // 2, (h - th) // 2, (w - tw) // 2)
+    if any(o % 2 for o in offs) or any(t % 2 for t in (td, th, tw)):
+        return None
+    zo, yo, xo = (o // 2 for o in offs)
+    dc, hc, wc = _cells(td), _cells(th), _cells(tw)
+    wcp = _round_up(wc, 8)
+    cells = s.cells[:, zo:zo + dc, yo:yo + hc, xo:xo + wcp, :]
+    if cells.shape[3] < wcp:
+        cells = jnp.pad(cells, ((0, 0),) * 3
+                        + ((0, wcp - cells.shape[3]), (0, 0)))
+    out_log = (td, th, tw, c)
+    ok = _valid_mask(cells.shape, (td, th, tw), c)
+    cells = jnp.where(ok, cells, 0)
+    return S2d(cells, out_log)
+
+
+def s2d_concat_channels(a: S2d, b: S2d) -> S2d:
+    """Channel concat IN the s2d domain: a per-parity lane interleave
+    ((p, ca) ++ (p, cb) -> (p, ca+cb)) — lane-granularity only, the
+    sublane/spatial layout is untouched (vs a full re-layout for
+    logical concat + pack)."""
+    assert a.logical[:3] == b.logical[:3], (a.logical, b.logical)
+    ca, cb = a.logical[3], b.logical[3]
+    sh = a.cells.shape[:-1]
+    wc = max(a.cells.shape[3], b.cells.shape[3])
+
+    def body(x, c):
+        if x.shape[3] < wc:
+            x = jnp.pad(x, ((0, 0),) * 3 + ((0, wc - x.shape[3]), (0, 0)))
+        return x[..., :8 * c].reshape(x.shape[:-1] + (8, c))
+
+    out = jnp.concatenate([body(a.cells, ca), body(b.cells, cb)], axis=-1)
+    out = out.reshape(sh[:3] + (wc, 8 * (ca + cb)))
+    L = _round_up(8 * (ca + cb), 128)
+    if L != 8 * (ca + cb):
+        out = jnp.pad(out, ((0, 0),) * 4 + ((0, L - 8 * (ca + cb)),))
+    return S2d(out, a.logical[:3] + (ca + cb,))
+
+
 # ---------------------------------------------------------------------------
 # Masked batch statistics (for BN folding)
 # ---------------------------------------------------------------------------

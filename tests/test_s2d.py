@@ -279,3 +279,43 @@ def test_s2d_conv_grads_split_bwd(rng, monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-3,
                 err_msg=f"{modes} {name}")
+
+
+def test_upsample2x_to_s2d(rng):
+    """Cells-emitting trilinear upsample == logical upsample + pack."""
+    from stroke_prediction_tpu.ops import upsample2x_trilinear
+    from stroke_prediction_tpu.ops.pallas.s2d import upsample2x_to_s2d
+    x = _rand(rng, 2, 5, 9, 10, 3)
+    got = upsample2x_to_s2d(x)
+    ref = upsample2x_trilinear(x)
+    assert got.logical == ref.shape[1:]
+    np.testing.assert_allclose(np.asarray(s2d_unpack(got)),
+                               np.asarray(ref), atol=1e-5, rtol=1e-5)
+    # zero invariant (f32 summation-order noise -> relative tolerance)
+    total = float(jnp.sum(jnp.abs(got.cells)))
+    valid = float(jnp.sum(jnp.abs(s2d_unpack(got))))
+    assert abs(total - valid) < 1e-5 * max(total, 1.0)
+
+
+def test_s2d_center_crop_cells_and_concat(rng):
+    from stroke_prediction_tpu.ops.pallas.s2d import (
+        s2d_center_crop_cells, s2d_concat_channels)
+    x = _rand(rng, 1, 12, 16, 20, 3)
+    s = s2d_pack(x, jnp.float32)
+    got = s2d_center_crop_cells(s, (8, 12, 12))
+    assert got is not None
+    np.testing.assert_allclose(
+        np.asarray(s2d_unpack(got)),
+        np.asarray(x[:, 2:10, 2:14, 4:16, :]), atol=1e-6)
+    total = float(jnp.sum(jnp.abs(got.cells)))
+    valid = float(jnp.sum(jnp.abs(s2d_unpack(got))))
+    assert abs(total - valid) < 1e-3
+    # odd offset -> fallback signal
+    assert s2d_center_crop_cells(s, (10, 12, 12)) is None
+
+    y = _rand(rng, 1, 8, 12, 12, 5)
+    cat = s2d_concat_channels(s2d_pack(y, jnp.float32), got)
+    ref = jnp.concatenate([y, x[:, 2:10, 2:14, 4:16, :]], axis=-1)
+    assert cat.logical == ref.shape[1:]
+    np.testing.assert_allclose(np.asarray(s2d_unpack(cat)),
+                               np.asarray(ref), atol=1e-6)
