@@ -47,9 +47,12 @@ def _nearest_site_dist1d(sites: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.minimum(dist_left, dist_right)
 
 
-def _parabola_pass(f2: jnp.ndarray, axis: int, chunk: int = 64) -> jnp.ndarray:
+def _parabola_pass_xla(f2: jnp.ndarray, axis: int,
+                       chunk: int = 64) -> jnp.ndarray:
     """One separable squared-EDT pass: ``out(i) = min_j (f2(j) + (i-j)^2)``
-    along ``axis``, computed line-chunk-wise to bound memory."""
+    along ``axis``, computed line-chunk-wise to bound memory (the
+    reference/CPU implementation; the TPU default is the Pallas
+    line-resident kernel below)."""
     n = f2.shape[axis]
     moved = jnp.moveaxis(f2, axis, -1)
     lead_shape = moved.shape[:-1]
@@ -72,6 +75,67 @@ def _parabola_pass(f2: jnp.ndarray, axis: int, chunk: int = 64) -> jnp.ndarray:
     if pad:
         out = out[:n_lines]
     return jnp.moveaxis(out.reshape(lead_shape + (n,)), -1, axis)
+
+
+def _parabola_kernel(f_ref, o_ref, *, n: int):
+    """Line-resident tropical (min, +) pass: the (L, n) line block stays
+    in VMEM; for each source index j the candidate ``f[:, j] + (i-j)^2``
+    is a lane-broadcast + constant-row add, so the O(n^2) work runs at
+    VPU register bandwidth with no HBM round trips (the XLA chunked
+    formulation materializes an (L, n, n) broadcast per chunk)."""
+    f = f_ref[...]
+    L, npad = f.shape
+    # Mosaic iota is integer-only
+    i = jax.lax.broadcasted_iota(jnp.int32, (L, npad), 1).astype(jnp.float32)
+    out = None
+    for j in range(n):                      # real columns only
+        cand = jax.lax.broadcast_in_dim(f[:, j], (L, npad), (0,)) \
+            + (i - float(j)) ** 2
+        out = cand if out is None else jnp.minimum(out, cand)
+    o_ref[...] = out
+
+
+def _parabola_pass_pallas(f2: jnp.ndarray, axis: int,
+                          block: int = 256) -> jnp.ndarray:
+    from functools import partial as _partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = f2.shape[axis]
+    moved = jnp.moveaxis(f2, axis, -1)
+    lead_shape = moved.shape[:-1]
+    lines = moved.reshape(-1, n)
+    n_lines = lines.shape[0]
+    pad_l = (-n_lines) % block
+    if pad_l:
+        lines = jnp.pad(lines, ((0, pad_l), (0, 0)))
+    n_pad = (-n) % 128
+    if n_pad:
+        # padded lanes hold _BIG so they never win the min
+        lines = jnp.pad(lines, ((0, 0), (0, n_pad)),
+                        constant_values=_BIG)
+    grid = lines.shape[0] // block
+
+    out = pl.pallas_call(
+        _partial(_parabola_kernel, n=n),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((block, lines.shape[1]),
+                               lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, lines.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(lines.shape, jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(lines.astype(jnp.float32))
+    out = out[:n_lines, :n].astype(f2.dtype)
+    return jnp.moveaxis(out.reshape(lead_shape + (n,)), -1, axis)
+
+
+def _parabola_pass(f2: jnp.ndarray, axis: int) -> jnp.ndarray:
+    if jax.default_backend() == "tpu":
+        return _parabola_pass_pallas(f2, axis)
+    return _parabola_pass_xla(f2, axis)
 
 
 @partial(jax.jit, static_argnames=("axes",))

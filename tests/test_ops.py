@@ -127,3 +127,19 @@ class TestEdt:
         s = np.asarray(ops.signed_edt(jnp.asarray(ball)))
         assert s[6, 6, 6] > 0
         assert s[0, 0, 0] < 0
+
+
+def test_parabola_pass_pallas_matches_xla():
+    """The line-resident Pallas min-plus EDT pass (TPU default) must
+    match the chunked XLA formulation (interpret mode on CPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stroke_prediction_tpu.ops.edt import (
+        _parabola_pass_pallas, _parabola_pass_xla)
+    rng = np.random.RandomState(0)
+    f2 = jnp.asarray(rng.rand(3, 21, 37) * 50, jnp.float32)
+    for axis in (1, 2):
+        a = _parabola_pass_xla(f2, axis)
+        b = _parabola_pass_pallas(f2, axis, block=16)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-5)
