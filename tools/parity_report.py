@@ -77,6 +77,49 @@ def main():
             f"Mean |delta|: {sum(deltas) / len(deltas):.4f} over "
             f"{len(rows)} comparisons; max |delta|: {max(deltas):.4f}.",
         ]
+
+    # seed-noise appendix: JAX-vs-JAX spread across seeds on the same
+    # fold quantifies how much of any torch/JAX delta is run-to-run
+    # noise of the 29-case dataset rather than framework bias
+    noise_rows = []
+    for spath in sorted(glob.glob(os.path.join(PARITY_DIR,
+                                               "*_jax_seed*.json"))):
+        m = re.match(r"(\w+?)_fold(\w+?)_jax_seed(\d+)\.json",
+                     os.path.basename(spath))
+        if not m:
+            continue
+        config, tag, seed = m.group(1), m.group(2), m.group(3)
+        base = os.path.join(PARITY_DIR, f"{config}_fold{tag}_jax.json")
+        if not os.path.exists(base):
+            continue
+        with open(base) as f:
+            c0 = json.load(f)
+        with open(spath) as f:
+            c1 = json.load(f)
+        keys = (["core_dc", "penu_dc"] if config == "unet"
+                else ["lesion_dc", "core_dc", "penu_dc"])
+        for k in keys:
+            b0, b1 = best(c0, k), best(c1, k)
+            if b0 is not None and b1 is not None:
+                noise_rows.append((config, tag, seed, k, b0, b1, b1 - b0))
+    if noise_rows:
+        lines += [
+            "",
+            "## Seed noise (same framework, same fold, different seed)",
+            "",
+            "| config | fold set | seed vs 4 | structure | seed-4 | "
+            "other | spread |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for config, tag, seed, k, b0, b1, d in noise_rows:
+            lines.append(f"| {config} | {tag}.. | {seed} | {k[:-3]} "
+                         f"| {b0:.4f} | {b1:.4f} | {d:+.4f} |")
+        spread = [abs(d) for *_r, d in noise_rows]
+        lines.append("")
+        lines.append(
+            f"Max same-framework seed spread: {max(spread):.4f} — "
+            "torch/JAX deltas within this band are indistinguishable "
+            "from run-to-run noise.")
     out = os.path.join(os.path.dirname(PARITY_DIR), "PARITY.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
