@@ -46,7 +46,11 @@ def make_mesh(args):
                    num_processes=args.nprocs, process_id=args.procid)
         import jax
         from stroke_prediction_tpu.parallel.mesh import make_data_mesh
-        n = getattr(args, "ndevices", 0) or len(jax.devices())
+        # --ndevices defaults to 1; in a multi-host run the mesh must
+        # span the GLOBAL device list unless explicitly overridden
+        n = getattr(args, "ndevices", 1)
+        if n <= 1:
+            n = len(jax.devices())
         return make_data_mesh(n)
     if getattr(args, "ndevices", 1) <= 1:
         return None

@@ -66,14 +66,15 @@ class BatchLoader:
                 # multi-host: the batch ORDER is identical on every host
                 # (seed-shared RNG); each host loads only its slice and
                 # parallel.distributed.global_batch assembles the global
-                # array — no host materializes the full batch
+                # array — no host materializes the full batch.  A final
+                # partial batch that does not divide over the processes
+                # is dropped (every host sees the same length, so they
+                # all drop it consistently).
                 import jax
                 pid, nproc = jax.process_index(), jax.process_count()
                 if nproc > 1:
-                    assert len(chunk) % nproc == 0, (
-                        f"global batch {len(chunk)} must divide over "
-                        f"{nproc} processes (use drop_last or a "
-                        f"divisible batch size)")
+                    if len(chunk) % nproc:
+                        return
                     chunk = chunk[pid::nproc]
             yield self.dataset.stack(chunk)
 

@@ -279,14 +279,19 @@ class BatchNorm(nn.Module):
         if not ura or self.is_initializing():
             if is_s2d:
                 mean, var = s2d_batch_stats(x)
+                ex2 = var + mean * mean
             else:
                 xf = x.astype(jnp.float32)
                 axes = tuple(range(x.ndim - 1))
                 mean = jnp.mean(xf, axes)
-                var = jnp.maximum(jnp.mean(xf * xf, axes) - mean * mean, 0.0)
+                ex2 = jnp.mean(xf * xf, axes)
             if self.axis_name is not None:
+                # combine GLOBAL moments (pmean of E[x] and E[x^2]) —
+                # pmean of per-shard variances would drop the
+                # between-shard mean-variance term
                 mean = lax.pmean(mean, self.axis_name)
-                var = lax.pmean(var, self.axis_name)
+                ex2 = lax.pmean(ex2, self.axis_name)
+            var = jnp.maximum(ex2 - mean * mean, 0.0)
             stats = (mean, var)
 
         s, t = _BNCore(features, self.momentum, self.epsilon,

@@ -281,7 +281,9 @@ class Learner:
                 some = batch.get(KEY_LABELS)
                 n_vol = len(some) if some is not None \
                     else len(batch[KEY_IMAGES])
-                self._timer.stop(n_vol)
+                # multi-host: the local batch is 1/process_count of the
+                # global batch the chips actually processed
+                self._timer.stop(n_vol * jax.process_count())
             for k, v in host.items():
                 accum[k] = accum.get(k, 0.0) + v
             count += 1
@@ -300,9 +302,10 @@ class Learner:
             self.adapt_betas(epoch)
 
             # ------------------------------- (1) TRAINING ----------------
-            if (self._profile_dir is not None
-                    and epoch == self.get_start_epoch() + 1):
-                # capture the SECOND epoch (first is compile-dominated)
+            # capture the SECOND epoch (first is compile-dominated), or
+            # the only epoch when just one runs
+            trace_epoch = min(self.get_start_epoch() + 1, self._n_epochs - 1)
+            if self._profile_dir is not None and epoch == trace_epoch:
                 from stroke_prediction_tpu.utils.profiling import trace
                 with trace(self._profile_dir):
                     m_train = self._run_epoch(self._dataloader_training,

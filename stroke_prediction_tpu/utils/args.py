@@ -54,11 +54,9 @@ class ExpParser(argparse.ArgumentParser):
                           help="Model compute dtype (params stay float32)")
         self.add_argument("--fastmetrics", action="store_true",
                           default=True,
-                          help="Skip in-graph HD/ASSD during training "
-                               "epochs (testers keep them); the default — "
-                               "the O(n^2) surface-distance pass makes "
-                               "first-epoch compiles take minutes (use "
-                               "--distances to restore them)")
+                          help="No-op, kept for compatibility: fast "
+                               "metrics (no per-batch HD/ASSD) are the "
+                               "default; use --distances to opt back in")
         self.add_argument("--distances", action="store_true",
                           default=False,
                           help="Compute HD/ASSD every training/validation "

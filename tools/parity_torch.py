@@ -152,7 +152,7 @@ class TorchDec3D(nn.Module):
         ncls = channels[-1]
         self.bns = nn.ModuleList([nn.BatchNorm3d(c) for c in
                                   (fc, d8, d4, d4, d2, d2, d2, origin,
-                                   origin, origin, origin, origin)])
+                                   origin, origin, origin)])
         self.ops = nn.ModuleList([
             nn.ConvTranspose3d(fc, d8, 3, 1),
             nn.ConvTranspose3d(d8, d4, 3, 2),
@@ -171,7 +171,7 @@ class TorchDec3D(nn.Module):
 
     def forward(self, z):
         x = z
-        for bn, op in zip(self.bns[:11], self.ops):
+        for bn, op in zip(self.bns, self.ops):
             x = F.elu(op(bn(x)))
         return torch.sigmoid(self.head(self.bn_out(x)))
 
