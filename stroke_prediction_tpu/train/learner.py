@@ -257,10 +257,13 @@ class Learner:
         accum: Dict[str, float] = {}
         count = 0
         factor = jnp.asarray(self.loss_factor(epoch), jnp.float32)
+        from stroke_prediction_tpu.data.prefetch import prefetch_to_device
         from stroke_prediction_tpu.utils.profiling import annotate
         phase = "train_step" if training else "eval_step"
-        for batch in loader:
-            dev = self.batch_to_device(batch)
+        # double-buffered host->HBM staging: the next batch is stacked
+        # and device_put by a background thread while this step runs
+        for batch, dev in prefetch_to_device(loader, lambda b:
+                                             (b, self.batch_to_device(b))):
             with annotate(phase):
                 if training:
                     self._timer.start()
