@@ -225,17 +225,37 @@ class CaeReconstructionLearner(Learner):
     VIS_STEPS = (None, -10, -1, 0, 1, 2, 3, 4, 5, 20)
 
     def _infer_vis(self, batch_dev, step):
-        dto_in = self._make_dto(batch_dev, step=step)
-        return self._model.apply(
-            {"params": self._state.params,
-             "batch_stats": self._state.batch_stats},
-            dto_in, BRANCH_GTRUTH, False)
+        # jitted with the step as a TRACED scalar: all counterfactual
+        # sweeps share two compilations (gt-time / fixed-step) instead
+        # of eager op-by-op dispatch per forward (60 forwards per vis
+        # trigger; dominant epoch cost on remote-dispatch backends)
+        if getattr(self, "_vis_fwd", None) is None:
+            model = self._model
+
+            @jax.jit
+            def fwd_gt(params, bstats, batch):
+                dto = self._make_dto(batch, step=None)
+                return model.apply({"params": params, "batch_stats": bstats},
+                                   dto, BRANCH_GTRUTH, False)
+
+            @jax.jit
+            def fwd_step(params, bstats, batch, step):
+                dto = self._make_dto(batch, step=step)
+                return model.apply({"params": params, "batch_stats": bstats},
+                                   dto, BRANCH_GTRUTH, False)
+
+            self._vis_fwd = (fwd_gt, fwd_step)
+        fwd_gt, fwd_step = self._vis_fwd
+        if step is None:
+            return fwd_gt(self._state.params, self._state.batch_stats,
+                          batch_dev)
+        return fwd_step(self._state.params, self._state.batch_stats,
+                        batch_dev, jnp.float32(step))
 
     def visualize_epoch(self, epoch):
         """6-sample x 15-panel counterfactual time-sweep grid
         (reference: CaeReconstructionLearner.py:105-155).  The 10 step
-        sweeps are batched as one vmapped forward per sample set instead of
-        serial passes."""
+        sweeps share two jitted forwards (gt-time / traced fixed step)."""
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -459,6 +479,23 @@ class CaePredictionLearner(CaeReconstructionLearner):
                                           batch_stats=state["batch_stats"])
 
     def _infer_vis(self, batch_dev, step):
-        dto_in = self._make_dto(batch_dev, step=step)
-        return self._forward(self._state.params, self._state.batch_stats,
-                             dto_in, False)
+        if getattr(self, "_vis_fwd", None) is None:
+            @jax.jit
+            def fwd_gt(params, bstats, batch):
+                return self._forward(params, bstats,
+                                     self._make_dto(batch, step=None),
+                                     False)
+
+            @jax.jit
+            def fwd_step(params, bstats, batch, step):
+                return self._forward(params, bstats,
+                                     self._make_dto(batch, step=step),
+                                     False)
+
+            self._vis_fwd = (fwd_gt, fwd_step)
+        fwd_gt, fwd_step = self._vis_fwd
+        if step is None:
+            return fwd_gt(self._state.params, self._state.batch_stats,
+                          batch_dev)
+        return fwd_step(self._state.params, self._state.batch_stats,
+                        batch_dev, jnp.float32(step))

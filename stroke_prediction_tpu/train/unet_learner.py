@@ -176,10 +176,12 @@ class UnetSegmentationLearner(Learner):
         for inc, sample in enumerate(samples):
             images = jnp.asarray(sample[KEY_IMAGES])[None]
             labels = jnp.asarray(sample[KEY_LABELS])[None]
-            seg = self._model.apply(
-                {"params": self._state.params,
-                 "batch_stats": self._state.batch_stats},
-                images, train=False)
+            if getattr(self, "_vis_fwd", None) is None:
+                model = self._model
+                self._vis_fwd = jax.jit(lambda p, b, x: model.apply(
+                    {"params": p, "batch_stats": b}, x, train=False))
+            seg = self._vis_fwd(self._state.params,
+                                self._state.batch_stats, images)
             imgs = np.asarray(images)
             zs = min(imgs.shape[1] - 1, 34)
             zso = min(np.asarray(seg).shape[1] - 1, 14)
