@@ -276,7 +276,14 @@ def _act(y, act: str, alpha: float):
     if act == "leaky_relu":
         return jnp.where(y > 0, y, alpha * y)
     if act == "elu":
-        return jnp.where(y > 0, y, alpha * (jnp.exp(y) - 1.0))
+        # safe-exp: exp() only of the CLAMPED value.  The einsum-based
+        # ops (stride-2 / transposed / 1x1) are autodiffed, and the
+        # gradient of where() sends a zero cotangent into the untaken
+        # branch — 0 * exp(large positive) = 0 * inf = NaN, which once
+        # poisoned a whole training run when a pre-activation spiked
+        # past exp's overflow point (same guard as jax.nn.elu).
+        return jnp.where(y > 0, y,
+                         alpha * (jnp.exp(jnp.minimum(y, 0.0)) - 1.0))
     return y
 
 

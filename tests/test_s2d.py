@@ -319,3 +319,33 @@ def test_s2d_center_crop_cells_and_concat(rng):
     assert cat.logical == ref.shape[1:]
     np.testing.assert_allclose(np.asarray(s2d_unpack(cat)),
                                np.asarray(ref), atol=1e-6)
+
+
+def test_elu_grad_finite_at_overflow_scale(rng):
+    """Pre-activations past exp's overflow point must yield FINITE
+    gradients through the autodiffed in-domain ops (the where()-grad
+    0 * exp(inf) = NaN trap; poisoned a real training run)."""
+    from stroke_prediction_tpu.ops.pallas.s2d import (
+        ct_stride2_to_s2d, s2d_conv1x1, s2d_conv_stride2)
+    x = _rand(rng, 1, 4, 6, 8, 3) * 100.0          # drive y past ~88
+    k3 = jnp.abs(_rand(rng, 3, 3, 3, 3, 4)) * 10.0
+    k1 = jnp.abs(_rand(rng, 1, 1, 1, 3, 4)) * 10.0
+    bias = jnp.zeros((4,), jnp.float32)
+
+    def loss_stride2(x):
+        y = s2d_conv_stride2(s2d_pack(x, jnp.float32), k3, bias, act="elu")
+        return jnp.sum(y.astype(jnp.float32))
+
+    def loss_ct(x):
+        s = ct_stride2_to_s2d(x, k3, bias, act="elu")
+        return jnp.sum(s2d_unpack(s).astype(jnp.float32))
+
+    def loss_1x1(x):
+        s = s2d_conv1x1(s2d_pack(x, jnp.float32), k1[0, 0, 0], bias,
+                        act="elu")
+        return jnp.sum(s2d_unpack(s).astype(jnp.float32))
+
+    for name, fn in (("stride2", loss_stride2), ("ct", loss_ct),
+                     ("1x1", loss_1x1)):
+        g = jax.grad(fn)(x)
+        assert bool(jnp.isfinite(g).all()), name
