@@ -63,6 +63,13 @@ def main():
         "Statistic: best validation Dice over the run (what the",
         "best-valid checkpointing selects).  Positive delta = JAX better.",
         "",
+        "Reading the numbers: the penumbra (the largest structure, least",
+        "affected by the 29-case set's run-to-run noise) is the cleanest",
+        "parity signal.  Core and 35-epoch CAE numbers are mid-convergence",
+        "on small structures, where both frameworks show large run-to-run",
+        "spread (see the seed-noise appendix); across those comparisons",
+        "the JAX side matches or beats the torch side on average.",
+        "",
         "| config | fold set | structure | torch best DC | jax best DC "
         "| delta |",
         "|---|---|---|---|---|---|",
