@@ -58,7 +58,7 @@ def train(args):
                   base_betas=betas,
                   path_previous_base=args.inbasepath,
                   path_outputs_base=args.outbasepath, seed=args.seed,
-                  metrics_with_distances=args.distances,
+                  metrics_with_distances=(True if args.distances else "validation"),
         profile_dir=args.profile,
         mesh=make_mesh(args))
     learner.run_training()

@@ -54,7 +54,7 @@ def train(args):
         inputs_from_images=True,     # padded CBV/TTD feed the CTP encoder
         path_previous_base=args.inbasepath,
         path_outputs_base=args.outbasepath, seed=args.seed,
-        metrics_with_distances=args.distances,
+        metrics_with_distances=(True if args.distances else "validation"),
         profile_dir=args.profile,
         mesh=make_mesh(args))
     learner.run_training()

@@ -69,17 +69,20 @@ def random_patch(key: jax.Array, images: jnp.ndarray,
         # per-sample crops as one-hot selection MATMULS per axis: the MXU
         # eats them at ~0.1 ms, where vmap(dynamic_slice) lowers to a
         # batched gather (~7 ms) and unrolled dynamic slices still pay
-        # per-sample dynamic addressing (~5 ms).  Exact: each output
-        # element is one input element times 1.0 in f32.
+        # per-sample dynamic addressing (~5 ms).  HIGHEST precision keeps
+        # the selection exact in f32 (the TPU default matmul precision
+        # would round f32 inputs through bf16); one-hot matrices make the
+        # extra passes negligible.
         td, th, tw = size_dhw
+        hp = jax.lax.Precision.HIGHEST
         vf = v.astype(jnp.float32)
         if td != v.shape[1]:
             Pd = one_hot_shift(off_d, td, v.shape[1])
-            vf = jnp.einsum("bDd,bdhwc->bDhwc", Pd, vf)
+            vf = jnp.einsum("bDd,bdhwc->bDhwc", Pd, vf, precision=hp)
         Ph = one_hot_shift(off_h, th, v.shape[2])
-        vf = jnp.einsum("bHh,bdhwc->bdHwc", Ph, vf)
+        vf = jnp.einsum("bHh,bdhwc->bdHwc", Ph, vf, precision=hp)
         Pw = one_hot_shift(off_w, tw, v.shape[3])
-        vf = jnp.einsum("bWw,bdhwc->bdhWc", Pw, vf)
+        vf = jnp.einsum("bWw,bdhwc->bdhWc", Pw, vf, precision=hp)
         return vf.astype(v.dtype)
 
     imgs = crop_batch(images, (d, h, w))

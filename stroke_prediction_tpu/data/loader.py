@@ -54,14 +54,21 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch_chunks(self) -> List[List[int]]:
+        """One epoch's visiting order as batch-sized index chunks.
+
+        Consumes exactly one shuffle from the loader RNG, so the host
+        ``__iter__`` path and the Learner's device-resident gather path
+        see identical per-epoch orders for the same seed.
+        """
         order = list(self.indices)
         if self.shuffle:
             self._rs.shuffle(order)
+        chunks: List[List[int]] = []
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
-                return
+                break
             if self.process_shard:
                 # multi-host: the batch ORDER is identical on every host
                 # (seed-shared RNG); each host loads only its slice and
@@ -74,8 +81,13 @@ class BatchLoader:
                 pid, nproc = jax.process_index(), jax.process_count()
                 if nproc > 1:
                     if len(chunk) % nproc:
-                        return
+                        break
                     chunk = chunk[pid::nproc]
+            chunks.append(chunk)
+        return chunks
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for chunk in self.epoch_chunks():
             yield self.dataset.stack(chunk)
 
 

@@ -23,25 +23,42 @@ def prefetch_to_device(batches: Iterable, put_fn: Callable,
                        depth: int = 2) -> Iterator:
     """Yield ``put_fn(batch)`` for each batch, staged ``depth`` ahead by
     a daemon thread.  Exceptions in the worker re-raise at the consuming
-    site; a fully-consumed or abandoned iterator lets the thread exit.
+    site.  Abandoning the iterator (consumer exception / early break)
+    sets a closed flag that the worker checks around its bounded ``put``,
+    so the thread exits and releases its staged device batches instead of
+    blocking forever with them pinned in HBM.
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    closed = threading.Event()
+
+    def _put(item) -> bool:
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(put_fn(b))
-            q.put(_END)
+                if not _put(put_fn(b)):
+                    return
+            _put(_END)
         except BaseException as e:          # noqa: BLE001 — re-raised below
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        closed.set()

@@ -45,13 +45,18 @@ def initialize(coordinator_address: Optional[str] = None,
         return
     # NB: must run before anything touches the XLA backend (jax.devices,
     # device_put, any computation) — do NOT probe jax.process_count() here
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, "client", None) is not None:
-        _INITIALIZED = True
-        return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    already = False
+    if hasattr(jax.distributed, "is_initialized"):
+        already = jax.distributed.is_initialized()
+    if not already:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except RuntimeError as e:
+            # older JAX without is_initialized(): tolerate double init
+            if "already initialized" not in str(e).lower():
+                raise
     _INITIALIZED = True
 
 

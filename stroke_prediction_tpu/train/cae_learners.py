@@ -14,7 +14,6 @@ references:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -159,7 +158,6 @@ class CaeReconstructionLearner(Learner):
         self._init_state(self._make_dto(dev0))
         tx = self._tx
 
-        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, key, factor):
             images, labels = self._augment(key, batch.get(KEY_IMAGES),
                                            batch[KEY_LABELS])
@@ -183,7 +181,6 @@ class CaeReconstructionLearner(Learner):
                 batch_stats=mut["batch_stats"], step=state.step + 1)
             return new_state, self._metrics(loss, out)
 
-        @jax.jit
         def eval_step(state, batch, key, factor):
             dto_in = self._make_dto(batch)
             out = model.apply(
@@ -191,8 +188,7 @@ class CaeReconstructionLearner(Learner):
                 dto_in, BRANCH_GTRUTH, False)
             return self._metrics(self._loss(out, factor), out)
 
-        self._train_step = train_step
-        self._eval_step = eval_step
+        self._install_steps(train_step, eval_step)
 
     # --------------------------------------------------------- reporting
 
@@ -246,11 +242,10 @@ class CaeReconstructionLearner(Learner):
 
             self._vis_fwd = (fwd_gt, fwd_step)
         fwd_gt, fwd_step = self._vis_fwd
+        params, bstats = self._vis_state()
         if step is None:
-            return fwd_gt(self._state.params, self._state.batch_stats,
-                          batch_dev)
-        return fwd_step(self._state.params, self._state.batch_stats,
-                        batch_dev, jnp.float32(step))
+            return fwd_gt(params, bstats, batch_dev)
+        return fwd_step(params, bstats, batch_dev, jnp.float32(step))
 
     def visualize_epoch(self, epoch):
         """6-sample x 15-panel counterfactual time-sweep grid
@@ -427,7 +422,6 @@ class CaePredictionLearner(CaeReconstructionLearner):
             params=params, batch_stats=enc_vars.get("batch_stats", {}),
             opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
-        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, key, factor):
             images, labels = self._augment(key, batch.get(KEY_IMAGES),
                                            batch[KEY_LABELS])
@@ -450,15 +444,13 @@ class CaePredictionLearner(CaeReconstructionLearner):
                 batch_stats=mut["batch_stats"], step=state.step + 1)
             return new_state, self._metrics(loss, out)
 
-        @jax.jit
         def eval_step(state, batch, key, factor):
             dto_in = self._make_dto(batch)
             out = self._forward(state.params, state.batch_stats, dto_in,
                                 False)
             return self._metrics(self._loss(out, factor), out)
 
-        self._train_step = train_step
-        self._eval_step = eval_step
+        self._install_steps(train_step, eval_step)
 
     def save_model(self, suffix: str = ""):
         """Dual checkpointing: frozen CAE under the main name, the new
@@ -494,8 +486,7 @@ class CaePredictionLearner(CaeReconstructionLearner):
 
             self._vis_fwd = (fwd_gt, fwd_step)
         fwd_gt, fwd_step = self._vis_fwd
+        params, bstats = self._vis_state()
         if step is None:
-            return fwd_gt(self._state.params, self._state.batch_stats,
-                          batch_dev)
-        return fwd_step(self._state.params, self._state.batch_stats,
-                        batch_dev, jnp.float32(step))
+            return fwd_gt(params, bstats, batch_dev)
+        return fwd_step(params, bstats, batch_dev, jnp.float32(step))

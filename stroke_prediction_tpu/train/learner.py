@@ -58,7 +58,8 @@ class Learner:
                  path_outputs_base: str = "/tmp/stroke-prediction",
                  seed: int = 4, metrics_with_distances: bool = True,
                  mesh=None, log_throughput: bool = False,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 device_cache: Optional[bool] = None):
         assert dataloader_training.batch_size > 1, \
             "For normalization layers batch_size > 1 is required."
         self._dataloader_training = dataloader_training
@@ -69,18 +70,37 @@ class Learner:
         self._n_epochs = n_epochs
         self._path_outputs_base = path_outputs_base
         self._path_previous_base = path_previous_base
-        self._with_distances = metrics_with_distances
+        # distances mode: True = HD/ASSD in every train+validation batch
+        # (full reference parity, slow compiles), "validation" = distances
+        # on validation batches only (reference-shaped per-epoch ASSD
+        # curves at a fraction of the cost — the default from the CLI),
+        # False = never (inf placeholders)
+        self._distances_mode = metrics_with_distances
+        self._metrics_phase = "train"
         self._mesh = mesh
         self._key = jax.random.PRNGKey(seed)
         from stroke_prediction_tpu.utils.profiling import StepTimer
         n_chips = mesh.size if mesh is not None else 1
-        self._timer = StepTimer(n_chips=n_chips)
+        # epoch-level timing: the first training pass is compile-dominated
+        self._timer = StepTimer(warmup_steps=1, n_chips=n_chips)
         self._log_throughput = log_throughput
         self._profile_dir = profile_dir
+        # Device-resident dataset: the preprocessed cases live in HBM once
+        # and per-epoch batches are in-graph gathers by permuted row index
+        # (the reference re-stacks volumes on the host every step,
+        # common/data.py DataLoader).  Default on for single-process runs;
+        # multi-host keeps the process-sharded host loader.
+        if device_cache is None:
+            device_cache = os.environ.get(
+                "STROKE_TPU_DEVICE_CACHE", "1") != "0"
+        self._device_cache = device_cache
+        self._dev_data: Dict[Any, tuple] = {}
 
         self._state: Optional[TrainState] = None
         self._train_step = None
         self._eval_step = None
+        self._train_step_rows = None
+        self._eval_step_rows = None
         self._metric_dtos: Dict[str, List[dict]] = {"training": [],
                                                     "validate": []}
 
@@ -108,10 +128,93 @@ class Learner:
             return None
         return base + self.FNB_MARKS + suffix + ext
 
+    @property
+    def _with_distances(self) -> bool:
+        """Whether the metric recipe being traced right now includes
+        HD/ASSD.  Read by the subclasses' ``_metrics`` at trace time of
+        each step variant; ``_metrics_phase`` is set by the step wrappers
+        in :meth:`_install_steps`."""
+        if self._distances_mode == "validation":
+            return self._metrics_phase == "eval"
+        return bool(self._distances_mode)
+
     # ------------------------------------------------------- subclass hooks
 
     def _build(self):
         raise NotImplementedError
+
+    def _install_steps(self, train_fn, eval_fn):
+        """Wrap the subclass's pure step functions.
+
+        Two jitted variants of each: the host-batch step (multi-host /
+        prefetch path) and a row-gather step for the device-resident
+        dataset, where the batch is assembled in-graph from the
+        HBM-cached case arrays by row index (compiled into the step, so
+        no host stacking or host->device transfer per batch).
+        """
+        import functools
+
+        def _phased(fn, phase):
+            def wrapped(*a, **kw):
+                self._metrics_phase = phase   # read at trace time only
+                return fn(*a, **kw)
+            return wrapped
+
+        train_fn = _phased(train_fn, "train")
+        eval_fn = _phased(eval_fn, "eval")
+        self._train_step = jax.jit(train_fn, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_fn)
+
+        mesh = self._mesh
+
+        def gather(data, rows):
+            batch = {}
+            for k, v in data.items():
+                if v is None:
+                    batch[k] = None
+                    continue
+                g = v[rows]
+                if (mesh is not None
+                        and g.shape[0] % mesh.shape["data"] == 0):
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    g = jax.lax.with_sharding_constraint(
+                        g, NamedSharding(mesh, P("data")))
+                batch[k] = g
+            return batch
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_rows(state, data, rows, key, factor):
+            return train_fn(state, gather(data, rows), key, factor)
+
+        @jax.jit
+        def eval_rows(state, data, rows, key, factor):
+            return eval_fn(state, gather(data, rows), key, factor)
+
+        self._train_step_rows = train_rows
+        self._eval_step_rows = eval_rows
+
+    def _device_data(self, loader):
+        """HBM-resident (N, ...) case arrays for a loader's subset, built
+        once; returns (arrays, dataset-index -> row map)."""
+        key = (id(loader.dataset), tuple(loader.indices))
+        entry = self._dev_data.get(key)
+        if entry is None:
+            stack = loader.dataset.stack(loader.indices)
+            data = {}
+            for k in (KEY_IMAGES, KEY_LABELS, KEY_GLOBAL):
+                v = stack.get(k)
+                if v is None:
+                    data[k] = None
+                elif self._mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    data[k] = jax.device_put(
+                        jnp.asarray(v), NamedSharding(self._mesh, P()))
+                else:
+                    data[k] = jax.device_put(jnp.asarray(v))
+            rowmap = {idx: row for row, idx in enumerate(loader.indices)}
+            entry = (data, rowmap)
+            self._dev_data[key] = entry
+        return entry
 
     def _resolve_tx(self, params):
         """The optimizer argument may be a ready GradientTransformation or
@@ -209,6 +312,21 @@ class Learner:
         return {"params": self._state.params,
                 "batch_stats": self._state.batch_stats}
 
+    def _vis_state(self):
+        """Params/batch-stats for the lead-only visualization forwards.
+
+        After the first mesh-jitted train step the live state is
+        committed to the global (all-host) mesh; launching a lead-only
+        jit from it would need a device assignment spanning
+        non-addressable devices.  Multi-host therefore fetches the
+        (replicated) state to host first, making the vis computation
+        fully local to process 0; single-host passes the live state
+        through untouched."""
+        if jax.process_count() > 1:
+            return (jax.device_get(self._state.params),
+                    jax.device_get(self._state.batch_stats))
+        return self._state.params, self._state.batch_stats
+
     def _is_lead(self) -> bool:
         """Multi-host: only process 0 writes artifacts (params are
         replicated, so every process holds the same state)."""
@@ -254,44 +372,73 @@ class Learner:
         return sub
 
     def _run_epoch(self, loader, epoch: int, training: bool) -> dict:
-        accum: Dict[str, float] = {}
-        count = 0
         factor = jnp.asarray(self.loss_factor(epoch), jnp.float32)
-        from stroke_prediction_tpu.data.prefetch import prefetch_to_device
         from stroke_prediction_tpu.utils.profiling import annotate
         phase = "train_step" if training else "eval_step"
-        # double-buffered host->HBM staging: the next batch is stacked
-        # and device_put by a background thread while this step runs
-        for batch, dev in prefetch_to_device(loader, lambda b:
-                                             (b, self.batch_to_device(b))):
-            with annotate(phase):
-                if training:
-                    self._timer.start()
-                    self._state, metrics = self._train_step(
-                        self._state, dev, self._next_key(), factor)
-                else:
-                    metrics = self._eval_step(self._state, dev,
-                                              self._next_key(), factor)
-            # accumulate like MeasuresDto.add (inf propagates through +=),
-            # divide like MeasuresDto.div (inf kept as-is) —
-            # reference: MetricMeasuresDto.py:6-24
-            # (one bulk device_get per batch: it anchors the step timing on
-            # host materialization — the axon tunnel requires that — and
-            # avoids a device round trip per metric)
-            host = {k: float(v) for k, v in
-                    jax.device_get(metrics).items()}
-            if training:
+        use_cache = self._device_cache and jax.process_count() == 1
+        results = []          # per-step metric trees, still on device
+        n_vol = 0
+        if training:
+            # epoch-level timing, anchored on the end-of-epoch metrics
+            # fetch (the axon tunnel defers execution past
+            # block_until_ready, so only a host materialization is a
+            # reliable fence)
+            self._timer.start()
+        if use_cache:
+            # device-resident path: batches are gathered in-graph from
+            # the HBM-cached cases by permuted row index — no host
+            # stacking, no host->device transfer, no per-step host sync
+            data, rowmap = self._device_data(loader)
+            for chunk in loader.epoch_chunks():
+                rows = jnp.asarray([rowmap[i] for i in chunk], jnp.int32)
+                with annotate(phase):
+                    if training:
+                        self._state, metrics = self._train_step_rows(
+                            self._state, data, rows, self._next_key(),
+                            factor)
+                    else:
+                        metrics = self._eval_step_rows(
+                            self._state, data, rows, self._next_key(),
+                            factor)
+                results.append(metrics)
+                n_vol += len(chunk)
+        else:
+            # host path (multi-host / NIfTI ingest): double-buffered
+            # host->HBM staging — the next batch is stacked and
+            # device_put by a background thread while this step runs
+            from stroke_prediction_tpu.data.prefetch import (
+                prefetch_to_device)
+            for batch, dev in prefetch_to_device(
+                    loader, lambda b: (b, self.batch_to_device(b))):
+                with annotate(phase):
+                    if training:
+                        self._state, metrics = self._train_step(
+                            self._state, dev, self._next_key(), factor)
+                    else:
+                        metrics = self._eval_step(self._state, dev,
+                                                  self._next_key(), factor)
+                results.append(metrics)
                 some = batch.get(KEY_LABELS)
-                n_vol = len(some) if some is not None \
+                n = len(some) if some is not None \
                     else len(batch[KEY_IMAGES])
                 # multi-host: the local batch is 1/process_count of the
                 # global batch the chips actually processed
-                self._timer.stop(n_vol * jax.process_count())
+                n_vol += n * jax.process_count()
+        # ONE bulk device->host fetch per epoch (the reference syncs every
+        # batch for its numpy metrics, metrics.py:49-62)
+        host_list = jax.device_get(results)
+        if training:
+            self._timer.stop(n_vol)
+            if self._log_throughput:
+                print(f"[throughput] {self._timer.summary()}", end=" ")
+        # accumulate like MeasuresDto.add (inf propagates through +=),
+        # divide like MeasuresDto.div (inf kept as-is) —
+        # reference: MetricMeasuresDto.py:6-24
+        accum: Dict[str, float] = {}
+        for host in host_list:
             for k, v in host.items():
-                accum[k] = accum.get(k, 0.0) + v
-            count += 1
-        if training and self._log_throughput:
-            print(f"[throughput] {self._timer.summary()}", end=" ")
+                accum[k] = accum.get(k, 0.0) + float(v)
+        count = max(len(host_list), 1)
         return {k: (v / count if np.isfinite(v) else v)
                 for k, v in accum.items()}
 

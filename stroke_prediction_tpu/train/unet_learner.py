@@ -11,7 +11,6 @@ Dice loss, backward, Adam update, measures) is ONE jitted device step.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -107,7 +106,6 @@ class UnetSegmentationLearner(Learner):
                 return images, labels
             return random_patch(key, images, labels, self._patch, self._pad)
 
-        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, key, factor):
             images, labels = augment(key, batch[KEY_IMAGES],
                                      batch[KEY_LABELS])
@@ -128,7 +126,6 @@ class UnetSegmentationLearner(Learner):
             return new_state, self._metrics(loss, core, penu, core_gt,
                                             penu_gt)
 
-        @jax.jit
         def eval_step(state, batch, key, factor):
             # validation also uses a random patch
             # (reference: train_unet_segmentation.py:44-48)
@@ -138,8 +135,7 @@ class UnetSegmentationLearner(Learner):
                 state.params, state.batch_stats, images, labels, train=False)
             return self._metrics(loss, core, penu, core_gt, penu_gt)
 
-        self._train_step = train_step
-        self._eval_step = eval_step
+        self._install_steps(train_step, eval_step)
 
     # --------------------------------------------------------- reporting
 
@@ -180,8 +176,7 @@ class UnetSegmentationLearner(Learner):
                 model = self._model
                 self._vis_fwd = jax.jit(lambda p, b, x: model.apply(
                     {"params": p, "batch_stats": b}, x, train=False))
-            seg = self._vis_fwd(self._state.params,
-                                self._state.batch_stats, images)
+            seg = self._vis_fwd(*self._vis_state(), images)
             imgs = np.asarray(images)
             zs = min(imgs.shape[1] - 1, 34)
             zso = min(np.asarray(seg).shape[1] - 1, 14)

@@ -54,14 +54,16 @@ class ExpParser(argparse.ArgumentParser):
                           help="Model compute dtype (params stay float32)")
         self.add_argument("--fastmetrics", action="store_true",
                           default=True,
-                          help="No-op, kept for compatibility: fast "
-                               "metrics (no per-batch HD/ASSD) are the "
-                               "default; use --distances to opt back in")
+                          help="No-op, kept for compatibility: by default "
+                               "HD/ASSD are computed on validation batches "
+                               "only (reference-shaped per-epoch ASSD "
+                               "curves); use --distances for every batch")
         self.add_argument("--distances", action="store_true",
                           default=False,
-                          help="Compute HD/ASSD every training/validation "
-                               "batch like the reference (medpy per batch); "
-                               "slow compiles on the CAE configs")
+                          help="Compute HD/ASSD every training AND "
+                               "validation batch like the reference "
+                               "(default: validation only); slow compiles "
+                               "on the CAE configs")
         self.add_argument("--profile", type=str, default=None,
                           metavar="LOGDIR",
                           help="Capture a jax.profiler device trace of one "
