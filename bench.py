@@ -186,6 +186,44 @@ def measure_tpu_cae(steps: int = 10) -> float:
     return BATCH_CAE / dt
 
 
+def measure_learner(epochs: int = 6) -> float:
+    """End-to-end throughput of the REAL UnetSegmentationLearner epoch
+    loop (device-resident dataset, in-graph batch gather, one metrics
+    fetch per epoch) at the config of record on the synthetic 29-case
+    dataset — the honest train-loop number, not a data-resident step
+    microbenchmark.  Matches the reference's whole per-epoch loop
+    (learner/Learner.py:163-226)."""
+    import jax.numpy as jnp
+
+    from stroke_prediction_tpu.data.dataset import (
+        LABEL_CORE, LABEL_PENU, MOD_CBV, MOD_TTD, StrokeDataset3D,
+        SyntheticCaseProvider)
+    from stroke_prediction_tpu.data.loader import (
+        get_stroke_shape_training_data)
+    from stroke_prediction_tpu.models.unet3d import Unet3D
+    from stroke_prediction_tpu.train.optim import make_optimizer
+    from stroke_prediction_tpu.train.unet_learner import (
+        UnetSegmentationLearner)
+
+    provider = SyntheticCaseProvider(
+        n_cases=29, shape_xyz=(256, 256, 28), seed=4,
+        cache_dir="/tmp/stroke_tpu_synth_cache")
+    ds = StrokeDataset3D(provider, [MOD_CBV, MOD_TTD],
+                         [LABEL_CORE, LABEL_PENU], resample=0.5,
+                         flip_split_id=15, pad=PAD)
+    train, valid = get_stroke_shape_training_data(
+        ds, range(20), 0.275, seed=4, batchsize=BATCH)
+    learner = UnetSegmentationLearner(
+        train, valid,
+        Unet3D(channels=CHANNELS, compute_dtype=jnp.dtype(COMPUTE_DTYPE)),
+        make_optimizer(1e-3, betas=(0.99, 0.999), weight_decay=1e-5),
+        None, n_epochs=epochs, patch_whd=PATCH, pad_xyz=PAD,
+        path_outputs_base="/tmp/bench_learner", seed=4,
+        metrics_with_distances=False, log_throughput=True)
+    learner.run_training()
+    return learner._timer.volumes_per_sec_per_chip
+
+
 def measure_torch_cpu_cae_baseline(steps: int = 1) -> float:
     """Reference-equivalent PyTorch-CPU CAE train step (same arch as the
     parity trainer, batch 1 scaled)."""
@@ -327,6 +365,7 @@ def get_baselines() -> dict:
 def main():
     tpu = measure_tpu()
     cae = measure_tpu_cae()
+    learner = measure_learner()
     base = get_baselines()
     print(json.dumps({
         "metric": "unet3d_train_volumes_per_sec_per_chip",
@@ -336,6 +375,10 @@ def main():
         "cae_value": round(cae, 3),
         "cae_vs_baseline": round(
             cae / base["torch_cpu_cae_volumes_per_sec"], 2),
+        # end-to-end Learner epoch-loop throughput (not a step microbench)
+        "learner_value": round(learner, 3),
+        "learner_vs_baseline": round(
+            learner / base["torch_cpu_volumes_per_sec"], 2),
     }))
 
 

@@ -25,6 +25,7 @@ configuration traces to one fixed XLA graph.  Channel spec
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -36,6 +37,14 @@ from stroke_prediction_tpu.core.dto import (
 from stroke_prediction_tpu.models.layers import (
     BnConvActBlock, BatchNorm, Conv3d, ConvTranspose3d, conv_impl, elu)
 from stroke_prediction_tpu.ops.pallas.s2d import s2d_pack, s2d_unpack
+
+
+def structure_batching() -> bool:
+    """Whether the CAE encodes/decodes its structures (core/penu/lesion/
+    interpolation) as ONE group-stacked batched pass instead of
+    sequential per-structure passes.  Identical math (per-group BN);
+    disable with STROKE_TPU_CAE_BATCH=0 for A/B comparison."""
+    return os.environ.get("STROKE_TPU_CAE_BATCH", "1") != "0"
 
 
 def cae_latent_spatial(spatial: Tuple[int, int, int]) -> Tuple[int, int, int]:
@@ -70,7 +79,7 @@ class EncoderStack(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, groups: int = 1):
         _, origin, d2, d4, d8, fc = self.channels[:6]
         kw = dict(act="elu", act_param=self.alpha, axis_name=self.axis_name,
                   compute_dtype=self.compute_dtype)
@@ -85,20 +94,21 @@ class EncoderStack(nn.Module):
             # MXU fine and its superpatch weights would not fit VMEM).
             x = s2d_pack(x.astype(self.compute_dtype))
 
-        x = BnConvActBlock(origin, padding=zpad, **kw)(x, train)
-        x = BnConvActBlock(origin, padding=zpad, **kw)(x, train)
-        x = BnConvActBlock(d2, strides=(2, 2, 2), padding=(1, 1, 1), **kw)(x, train)
+        g = groups
+        x = BnConvActBlock(origin, padding=zpad, **kw)(x, train, g)
+        x = BnConvActBlock(origin, padding=zpad, **kw)(x, train, g)
+        x = BnConvActBlock(d2, strides=(2, 2, 2), padding=(1, 1, 1), **kw)(x, train, g)
         if s2d:
             x = s2d_pack(x)
-        x = BnConvActBlock(d2, padding=zpad, **kw)(x, train)
-        x = BnConvActBlock(d2, padding=zpad, **kw)(x, train)
-        x = BnConvActBlock(d4, strides=(2, 2, 2), padding=(1, 1, 1), **kw)(x, train)
+        x = BnConvActBlock(d2, padding=zpad, **kw)(x, train, g)
+        x = BnConvActBlock(d2, padding=zpad, **kw)(x, train, g)
+        x = BnConvActBlock(d4, strides=(2, 2, 2), padding=(1, 1, 1), **kw)(x, train, g)
         if s2d:
             x = s2d_pack(x)
-        x = BnConvActBlock(d4, padding=zpad, **kw)(x, train)
-        x = BnConvActBlock(d4, padding=zpad, **kw)(x, train)
-        x = BnConvActBlock(d8, strides=(2, 2, 2), padding="VALID", **kw)(x, train)
-        x = BnConvActBlock(fc, padding="VALID", **kw)(x, train)
+        x = BnConvActBlock(d4, padding=zpad, **kw)(x, train, g)
+        x = BnConvActBlock(d4, padding=zpad, **kw)(x, train, g)
+        x = BnConvActBlock(d8, strides=(2, 2, 2), padding="VALID", **kw)(x, train, g)
+        x = BnConvActBlock(fc, padding="VALID", **kw)(x, train, g)
         return x
 
 
@@ -130,6 +140,25 @@ class Enc3D(nn.Module):
             return None
         return self.encoder(x, train)
 
+    def _encode_many(self, xs, train):
+        """Encode several same-shaped structures in ONE batched trunk pass
+        (group-stacked batch axis, per-structure BN statistics) — the
+        reference runs the encoder once per structure sequentially
+        (Cae3D.py:100-118); batching keeps its semantics (grouped BN
+        stats, chained running updates) while tripling the matmul batch."""
+        present = [(i, x) for i, x in enumerate(xs) if x is not None]
+        if not present:
+            return [None] * len(xs)
+        if len(present) == 1 or not structure_batching():
+            return [self._encode(x, train) for x in xs]
+        stacked = jnp.concatenate([x for _, x in present], axis=0)
+        y = self.encoder(stacked, train, groups=len(present))
+        parts = jnp.split(y, len(present), axis=0)
+        out = [None] * len(xs)
+        for (i, _), p in zip(present, parts):
+            out[i] = p
+        return out
+
     def _get_step(self, dto: CaeDto, train: bool):
         return dto.given_variables.time_to_treatment
 
@@ -139,16 +168,14 @@ class Enc3D(nn.Module):
         latents = dto.latents
         if branches.gtruth:
             gv = dto.given_variables.gtruth
-            core = self._encode(gv.core, train)
-            penu = self._encode(gv.penu, train)
-            lesion = self._encode(gv.lesion, train)
+            core, penu, lesion = self._encode_many(
+                [gv.core, gv.penu, gv.lesion], train)
             latents = latents.replace(gtruth=latents.gtruth.replace(
                 core=core, penu=penu, lesion=lesion,
                 interpolation=interpolate_latent(core, penu, step)))
         if branches.inputs:
             iv = dto.given_variables.inputs
-            core = self._encode(iv.core, train)
-            penu = self._encode(iv.penu, train)
+            core, penu = self._encode_many([iv.core, iv.penu], train)
             latents = latents.replace(inputs=latents.inputs.replace(
                 core=core, penu=penu,
                 interpolation=interpolate_latent(core, penu, step)))
@@ -217,15 +244,14 @@ class Enc3DCtp(Enc3D):
         if branches.gtruth:
             gv = dto.given_variables.gtruth
 
-            def enc(mask):
+            def with_ctp(mask):
                 if mask is None:
                     return None
-                return self._encode(
-                    jnp.concatenate([mask, cbv, ttd], axis=-1), train)
+                return jnp.concatenate([mask, cbv, ttd], axis=-1)
 
-            core = enc(gv.core)
-            penu = enc(gv.penu)
-            lesion = enc(gv.lesion)
+            core, penu, lesion = self._encode_many(
+                [with_ctp(gv.core), with_ctp(gv.penu), with_ctp(gv.lesion)],
+                train)
             latents = latents.replace(gtruth=latents.gtruth.replace(
                 core=core, penu=penu, lesion=lesion,
                 interpolation=interpolate_latent(core, penu, step)))
@@ -241,10 +267,11 @@ class DecoderStack(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, groups: int = 1):
         _, origin, d2, d4, d8, fc = self.channels[:6]
         n_classes = self.channels[-1]
         a = self.alpha
+        g = groups
         ura = not train
         bn = lambda: BatchNorm(axis_name=self.axis_name,
                                compute_dtype=self.compute_dtype)
@@ -257,58 +284,58 @@ class DecoderStack(nn.Module):
             # folded-BN kernels in-domain; the only logical interludes
             # are at the LOW-resolution inputs of each upsampling stage
             def fused(feat, ksz, s):
-                sc, sh = bn()(s, ura, fold=True)
+                sc, sh = bn()(s, ura, fold=True, groups=g)
                 pad = (1, 2, 2) if ksz == 3 else "VALID"
                 return Conv3d(feat, (ksz,) * 3, padding=pad,
                               compute_dtype=cdt)(
                     s, scale=sc, shift=sh, act="elu", act_param=a)
 
-            x = bn()(x, ura)
+            x = bn()(x, ura, groups=g)
             x = elu(ConvTranspose3d(d8, (3, 3, 3), (1, 1, 1), cdt)(x), a)
-            x = bn()(x, ura)
+            x = bn()(x, ura, groups=g)
             s = ConvTranspose3d(d4, (3, 3, 3), (2, 2, 2), cdt)(
                 x, to_s2d=True, act="elu", act_param=a)
             s = fused(d4, 3, s)
             s = fused(d2, 3, s)
-            x = bn()(s2d_unpack(s), ura)
+            x = bn()(s2d_unpack(s), ura, groups=g)
             s = ConvTranspose3d(d2, (2, 2, 2), (2, 2, 2), cdt)(
                 x, to_s2d=True, act="elu", act_param=a)
             s = fused(d2, 3, s)
             s = fused(origin, 3, s)
-            x = bn()(s2d_unpack(s), ura)
+            x = bn()(s2d_unpack(s), ura, groups=g)
             s = ConvTranspose3d(origin, (2, 2, 2), (2, 2, 2), cdt)(
                 x, to_s2d=True, act="elu", act_param=a)
             s = fused(origin, 3, s)
             s = fused(origin, 3, s)
             s = fused(origin, 1, s)
-            sc, sh = bn()(s, ura, fold=True)
+            sc, sh = bn()(s, ura, fold=True, groups=g)
             s = Conv3d(n_classes, (1, 1, 1), compute_dtype=cdt)(
                 s, scale=sc, shift=sh)
             return nn.sigmoid(s2d_unpack(s).astype(jnp.float32))
 
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = elu(ConvTranspose3d(d8, (3, 3, 3), (1, 1, 1), cdt)(x), a)
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = elu(ConvTranspose3d(d4, (3, 3, 3), (2, 2, 2), cdt)(x), a)
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = elu(Conv3d(d4, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = elu(Conv3d(d2, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = elu(ConvTranspose3d(d2, (2, 2, 2), (2, 2, 2), cdt)(x), a)
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = elu(Conv3d(d2, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = elu(Conv3d(origin, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = elu(ConvTranspose3d(origin, (2, 2, 2), (2, 2, 2), cdt)(x), a)
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = elu(Conv3d(origin, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = elu(Conv3d(origin, (3, 3, 3), padding=(1, 2, 2), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = elu(Conv3d(origin, (1, 1, 1), compute_dtype=cdt)(x), a)
-        x = bn()(x, use_running_average=ura)
+        x = bn()(x, use_running_average=ura, groups=g)
         x = Conv3d(n_classes, (1, 1, 1), compute_dtype=cdt)(x)
         return nn.sigmoid(x.astype(jnp.float32))
 
@@ -331,22 +358,38 @@ class Dec3D(nn.Module):
             return None
         return self.decoder(z, train)
 
+    def _decode_many(self, zs, train):
+        """Decode several latents in ONE batched trunk pass (group-stacked
+        batch axis, per-structure BN statistics); the reference runs the
+        decoder once per latent sequentially (Cae3D.py:227-239)."""
+        present = [(i, z) for i, z in enumerate(zs) if z is not None]
+        if not present:
+            return [None] * len(zs)
+        if len(present) == 1 or not structure_batching():
+            return [self._decode(z, train) for z in zs]
+        stacked = jnp.concatenate([z for _, z in present], axis=0)
+        y = self.decoder(stacked, train, groups=len(present))
+        parts = jnp.split(y, len(present), axis=0)
+        out = [None] * len(zs)
+        for (i, _), p in zip(present, parts):
+            out[i] = p
+        return out
+
     def __call__(self, dto: CaeDto, branches: CaeBranches = BRANCH_GTRUTH,
                  train: bool = False) -> CaeDto:
         recon = dto.reconstructions
         if branches.gtruth:
             lg = dto.latents.gtruth
+            core, penu, lesion, interp = self._decode_many(
+                [lg.core, lg.penu, lg.lesion, lg.interpolation], train)
             recon = recon.replace(gtruth=recon.gtruth.replace(
-                core=self._decode(lg.core, train),
-                penu=self._decode(lg.penu, train),
-                lesion=self._decode(lg.lesion, train),
-                interpolation=self._decode(lg.interpolation, train)))
+                core=core, penu=penu, lesion=lesion, interpolation=interp))
         if branches.inputs:
             li = dto.latents.inputs
+            core, penu, interp = self._decode_many(
+                [li.core, li.penu, li.interpolation], train)
             recon = recon.replace(inputs=recon.inputs.replace(
-                core=self._decode(li.core, train),
-                penu=self._decode(li.penu, train),
-                interpolation=self._decode(li.interpolation, train)))
+                core=core, penu=penu, interpolation=interp))
         return dto.replace(reconstructions=recon)
 
 

@@ -96,10 +96,15 @@ class Conv3d(nn.Module):
         the logical half-resolution tensor (the BN affine is applied
         masked, since zero-padded boundaries make it unfoldable)."""
         act = act or "none"
+        grouped = scale is not None and scale.ndim == 2
         if tuple(self.kernel_size) == (1, 1, 1):
             assert tuple(self.strides) == (1, 1, 1), self.strides
             if scale is not None:
-                kernel, bias = fold_bn(kernel, bias, scale, shift)
+                if grouped:
+                    # per-group affine cannot fold into the shared kernel
+                    s = s2d_affine(s, scale, shift)
+                else:
+                    kernel, bias = fold_bn(kernel, bias, scale, shift)
             return s2d_conv1x1(s, kernel[0, 0, 0], bias, act, act_param)
         assert tuple(self.kernel_size) == (3, 3, 3), self.kernel_size
         pads = ((0, 0, 0) if self.padding == "VALID"
@@ -114,11 +119,12 @@ class Conv3d(nn.Module):
         assert pads[0] in (0, 1) and pads[1] % 2 == 0 and pads[2] % 2 == 0, \
             self.padding
         if scale is not None:
-            if pads == (0, 0, 0):
+            if pads == (0, 0, 0) and not grouped:
                 # BN folding is exact only for VALID convs: a padded conv
                 # pads the BN OUTPUT with zeros, so the folded bias would
                 # wrongly fire at boundary taps — apply the affine masked
-                # on the input instead
+                # on the input instead (also for grouped affines, which
+                # cannot fold into the group-shared kernel)
                 kernel, bias = fold_bn(kernel, bias, scale, shift)
             else:
                 s = s2d_affine(s, scale, shift)
@@ -241,8 +247,20 @@ class _BNCore(nn.Module):
             mean, var = stats
             if not self.is_initializing():
                 m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
+                if mean.ndim == 2:
+                    # grouped stats (G, C): one running update PER group,
+                    # in stacking order, exactly as the reference's G
+                    # sequential module calls would chain them
+                    g = mean.shape[0]
+                    w = (1 - m) * m ** jnp.arange(g - 1, -1, -1,
+                                                  dtype=jnp.float32)
+                    ra_mean.value = (m ** g * ra_mean.value
+                                     + jnp.tensordot(w, mean, 1))
+                    ra_var.value = (m ** g * ra_var.value
+                                    + jnp.tensordot(w, var, 1))
+                else:
+                    ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                    ra_var.value = m * ra_var.value + (1 - m) * var
         s = scale * lax.rsqrt(var + self.epsilon)
         return s, bias - mean * s
 
@@ -269,7 +287,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None,
-                 fold: bool = False):
+                 fold: bool = False, groups: int = 1):
         ura = (self.use_running_average if use_running_average is None
                else use_running_average)
         is_s2d = isinstance(x, S2d)
@@ -278,13 +296,21 @@ class BatchNorm(nn.Module):
         stats = None
         if not ura or self.is_initializing():
             if is_s2d:
-                mean, var = s2d_batch_stats(x)
+                mean, var = s2d_batch_stats(x, groups=groups)
                 ex2 = var + mean * mean
             else:
                 xf = x.astype(jnp.float32)
-                axes = tuple(range(x.ndim - 1))
-                mean = jnp.mean(xf, axes)
-                ex2 = jnp.mean(xf * xf, axes)
+                if groups > 1:
+                    b = x.shape[0]
+                    assert b % groups == 0, (b, groups)
+                    xg = xf.reshape((groups, b // groups) + x.shape[1:])
+                    axes = tuple(range(1, xg.ndim - 1))
+                    mean = jnp.mean(xg, axes)          # (G, C)
+                    ex2 = jnp.mean(xg * xg, axes)
+                else:
+                    axes = tuple(range(x.ndim - 1))
+                    mean = jnp.mean(xf, axes)
+                    ex2 = jnp.mean(xf * xf, axes)
             if self.axis_name is not None:
                 # combine GLOBAL moments (pmean of E[x] and E[x^2]) —
                 # pmean of per-shard variances would drop the
@@ -299,6 +325,13 @@ class BatchNorm(nn.Module):
         if fold:
             return s, t
         cd = self.compute_dtype
+        if not is_s2d and s.ndim == 2:
+            # grouped affine on a logical tensor: per-group broadcast
+            b = x.shape[0]
+            sg = jnp.repeat(s, b // groups, axis=0).astype(cd)
+            tg = jnp.repeat(t, b // groups, axis=0).astype(cd)
+            shape = (b,) + (1,) * (x.ndim - 2) + (features,)
+            return (x.astype(cd) * sg.reshape(shape) + tg.reshape(shape))
         return x.astype(cd) * s.astype(cd) + t.astype(cd)
 
 
@@ -324,16 +357,17 @@ class BnConvActBlock(nn.Module):
     compute_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, groups: int = 1):
         bn = BatchNorm(axis_name=self.axis_name,
                        compute_dtype=self.compute_dtype)
         if isinstance(x, S2d):
             # fused s2d path: BN folded into the conv, activation in-kernel
-            s, t = bn(x, use_running_average=not train, fold=True)
+            s, t = bn(x, use_running_average=not train, fold=True,
+                      groups=groups)
             return Conv3d(self.features, self.kernel_size, self.strides,
                           self.padding, compute_dtype=self.compute_dtype)(
                 x, scale=s, shift=t, act=self.act, act_param=self.act_param)
-        x = bn(x, use_running_average=not train)
+        x = bn(x, use_running_average=not train, groups=groups)
         x = Conv3d(self.features, self.kernel_size, self.strides,
                    self.padding, compute_dtype=self.compute_dtype)(x)
         if self.act == "leaky_relu":

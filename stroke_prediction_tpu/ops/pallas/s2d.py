@@ -778,11 +778,26 @@ def _valid_mask(shape_cells, logical_dhw, c_real):
 def s2d_affine(s: S2d, scale: jnp.ndarray, shift: jnp.ndarray) -> S2d:
     """Per-channel affine (the BN normalization) applied IN the s2d
     domain, masked to preserve the zero invariant.  Used before ops whose
-    boundary zero-padding makes the affine unfoldable (strided convs)."""
+    boundary zero-padding makes the affine unfoldable (strided convs).
+
+    ``scale``/``shift``: (C,), or (G, C) for a batch-grouped affine where
+    the batch axis is G equal groups stacked major (structure-batched CAE
+    passes: each group is one structure with its own BN statistics)."""
     c = s.logical[3]
     L = s.cells.shape[-1]
-    sl = jnp.pad(jnp.tile(scale.astype(jnp.float32), 8), (0, L - 8 * c))
-    tl = jnp.pad(jnp.tile(shift.astype(jnp.float32), 8), (0, L - 8 * c))
+
+    def lanes(v):
+        return jnp.pad(jnp.tile(v.astype(jnp.float32), (1, 8)),
+                       ((0, 0), (0, L - 8 * c)))
+
+    s2 = jnp.atleast_2d(scale)
+    t2 = jnp.atleast_2d(shift)
+    g = s2.shape[0]
+    b = s.cells.shape[0]
+    assert b % g == 0, (b, g)
+    # (B, 1, 1, 1, L) rows: group-major batch stacking
+    sl = jnp.repeat(lanes(s2), b // g, axis=0)[:, None, None, None, :]
+    tl = jnp.repeat(lanes(t2), b // g, axis=0)[:, None, None, None, :]
     ok = _valid_mask(s.cells.shape, s.logical[:3], c)
     out = jnp.where(ok, s.cells.astype(jnp.float32) * sl + tl, 0.0)
     return S2d(out.astype(s.cells.dtype), s.logical)
@@ -1020,20 +1035,30 @@ def s2d_concat_channels(a: S2d, b: S2d) -> S2d:
 # Masked batch statistics (for BN folding)
 # ---------------------------------------------------------------------------
 
-def s2d_batch_stats(s: S2d) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def s2d_batch_stats(s: S2d, groups: int = 1
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-channel (mean, biased var) over the LOGICAL extent.  Exact
     thanks to the zero invariant: sums over all slots equal sums over
-    valid voxels; the divisor is the true count."""
+    valid voxels; the divisor is the true count.
+
+    ``groups`` > 1 splits the (group-major) batch axis into G equal
+    groups and returns (G, C) statistics — the structure-batched CAE
+    passes keep the reference's per-structure BN semantics this way."""
     d, h, w, c = s.logical
     b = s.cells.shape[0]
-    n = b * d * h * w
+    assert b % groups == 0, (b, groups)
+    n = (b // groups) * d * h * w
     x8 = s.cells[..., :8 * c].reshape(
-        s.cells.shape[:-1] + (8, c)).astype(jnp.float32)
-    ssum = jnp.sum(x8, axis=(0, 1, 2, 3, 4))
-    ssq = jnp.sum(x8 * x8, axis=(0, 1, 2, 3, 4))
+        (groups, b // groups) + s.cells.shape[1:-1] + (8, c)
+    ).astype(jnp.float32)
+    ssum = jnp.sum(x8, axis=(1, 2, 3, 4, 5))
+    ssq = jnp.sum(x8 * x8, axis=(1, 2, 3, 4, 5))
     mean = ssum / n
     var = ssq / n - mean * mean
-    return mean, jnp.maximum(var, 0.0)
+    var = jnp.maximum(var, 0.0)
+    if groups == 1:
+        return mean[0], var[0]
+    return mean, var
 
 
 def fold_bn(kernel: jnp.ndarray, bias: jnp.ndarray, scale: jnp.ndarray,

@@ -253,3 +253,29 @@ def test_cae_stacks_eval_mode_parity(monkeypatch):
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                    atol=2e-5, rtol=1e-4,
                                    err_msg=Stack.__name__)
+
+
+def test_cae_structure_batching_matches_sequential(monkeypatch):
+    """The group-stacked batched encoder/decoder passes (cae3d.py
+    _encode_many/_decode_many) must reproduce the sequential
+    per-structure passes exactly: identical reconstructions AND identical
+    BN running-stat updates (grouped stats + chained momentum updates in
+    structure order)."""
+    cae = _make_cae()
+    dto = _make_dto(b=2)
+    variables = cae.init(jax.random.PRNGKey(0), dto, BRANCH_GTRUTH, False)
+
+    def run(enabled):
+        monkeypatch.setenv("STROKE_TPU_CAE_BATCH", "1" if enabled else "0")
+        return cae.apply(variables, dto, BRANCH_GTRUTH, True,
+                         mutable=["batch_stats"])
+
+    o_seq, m_seq = run(False)
+    o_bat, m_bat = run(True)
+    for name in ("core", "penu", "lesion", "interpolation"):
+        a = np.asarray(getattr(o_seq.reconstructions.gtruth, name))
+        b = np.asarray(getattr(o_bat.reconstructions.gtruth, name))
+        np.testing.assert_allclose(a, b, atol=2e-5, err_msg=name)
+    for a, b in zip(jax.tree_util.tree_leaves(m_seq["batch_stats"]),
+                    jax.tree_util.tree_leaves(m_bat["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

