@@ -162,3 +162,36 @@ class TestEnc3DStepCheckpointIdentity:
 
 
 import jax  # noqa: E402  (used by the step-identity test)
+
+
+class TestValidationOnlyDistances:
+    """metrics_with_distances='validation' (the CLI default): HD/ASSD are
+    real on validation epochs, inf placeholders on training epochs —
+    reference-shaped ASSD curves without the per-train-batch EDT cost
+    (round-2 VERDICT item 7)."""
+
+    def test_distance_modes_per_phase(self, tmp_path):
+        provider = SyntheticCaseProvider(n_cases=6, shape_xyz=(24, 24, 24),
+                                         seed=4,
+                                         penu_radius_frac=(0.3, 0.45))
+        ds = StrokeDataset3D(provider, [MOD_CBV, MOD_TTD],
+                             [LABEL_CORE, LABEL_PENU], flip_split_id=15,
+                             pad=(20, 20, 20))
+        train, valid = get_stroke_shape_training_data(
+            ds, range(6), 0.34, seed=4, batchsize=4)
+        learner = UnetSegmentationLearner(
+            train, valid, Unet3D(channels=(2, 4, 6, 8, 6, 4, 6, 2)),
+            make_optimizer(1e-3, betas=(0.99, 0.999)), None, n_epochs=1,
+            patch_whd=(44, 44, 44), pad_xyz=(20, 20, 20),
+            path_outputs_base=str(tmp_path / "vd"), seed=4,
+            metrics_with_distances="validation")
+        learner.run_training()
+        m_train = learner._metric_dtos["training"][0]
+        m_valid = learner._metric_dtos["validate"][0]
+        # training: inf placeholders; validation: computed (finite unless
+        # a mask is genuinely empty, in which case the REFERENCE also
+        # records inf -- assert the mode wiring via the penumbra, which
+        # the synthetic cases always contain)
+        assert np.isinf(m_train["penu_hd"])
+        assert np.isfinite(m_valid["penu_hd"])
+        assert np.isfinite(m_valid["penu_assd"])
