@@ -42,9 +42,13 @@ from stroke_prediction_tpu.ops.pallas.s2d import s2d_pack, s2d_unpack
 def structure_batching() -> bool:
     """Whether the CAE encodes/decodes its structures (core/penu/lesion/
     interpolation) as ONE group-stacked batched pass instead of
-    sequential per-structure passes.  Identical math (per-group BN);
-    disable with STROKE_TPU_CAE_BATCH=0 for A/B comparison."""
-    return os.environ.get("STROKE_TPU_CAE_BATCH", "1") != "0"
+    sequential per-structure passes.  Identical math (per-group BN,
+    regression-tested bit-exact) — but measured SLOWER on the s2d Pallas
+    engine (tools/cae_probe.py: the conv grids already serialize over
+    (batch, depth), so a 3x batch just runs a 3x-longer grid, while the
+    grouped BN affines can no longer fold into the shared kernels).
+    Opt in with STROKE_TPU_CAE_BATCH=1."""
+    return os.environ.get("STROKE_TPU_CAE_BATCH", "0") == "1"
 
 
 def cae_latent_spatial(spatial: Tuple[int, int, int]) -> Tuple[int, int, int]:

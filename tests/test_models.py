@@ -267,6 +267,8 @@ def test_cae_structure_batching_matches_sequential(monkeypatch):
 
     def run(enabled):
         monkeypatch.setenv("STROKE_TPU_CAE_BATCH", "1" if enabled else "0")
+        # (batching is opt-in: measured slower on the s2d engine, see
+        # cae3d.structure_batching; the equivalence must hold regardless)
         return cae.apply(variables, dto, BRANCH_GTRUTH, True,
                          mutable=["batch_stats"])
 

@@ -71,13 +71,15 @@ def pack_mm(x, dtype=None):
     dc, hc = x.shape[1] // 2, x.shape[2] // 2
     y = x.reshape(b, 2 * dc, 2 * hc, wc, 2 * c)             # (pw, c): free
     # H interleave as matmul: out[b,z,H,w,l] = sum_h M[p,H,h] y[b,z,h,w,l]
+    # one-hot selections: exact at ANY matmul precision for bf16 inputs
+    # (single nonzero per output row); f32 inputs need HIGHEST to avoid
+    # the TPU default's bf16 truncation of the values
+    prec = (jax.lax.Precision.HIGHEST if y.dtype == jnp.float32 else None)
     Mh = _parity_split_eye(hc, 2 * hc, y.dtype)
-    y = jnp.einsum("pHh,bzhwl->bzHwpl", Mh, y,
-                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pHh,bzhwl->bzHwpl", Mh, y, precision=prec)
     y = y.reshape(b, 2 * dc, hc, wc, 4 * c)
     Md = _parity_split_eye(dc, 2 * dc, y.dtype)
-    y = jnp.einsum("pZz,bzhwl->bZhwpl", Md, y,
-                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pZz,bzhwl->bZhwpl", Md, y, precision=prec)
     y = y.reshape(b, dc, hc, wc, 8 * c)
     lanes = _round_up(8 * c, 128)
     if lanes != 8 * c:
@@ -93,7 +95,6 @@ def poolpack_mm(s: S2d):
 
 def main():
     rng = np.random.RandomState(0)
-    jax.config.update("jax_default_matmul_precision", "highest")
 
     # L1 entry: (6, 68, 168, 168, 2)
     x1 = jnp.asarray(rng.rand(6, 68, 168, 168, 2), DTYPE)
