@@ -86,6 +86,8 @@ class Conv3d(nn.Module):
     strides: Tuple[int, int, int] = (1, 1, 1)
     padding: Any = "VALID"
     compute_dtype: Dtype = jnp.float32
+    # entry conv on DATA input: skip the dx half of the s2d backward
+    input_grad: bool = True
 
     def _s2d_call(self, s: S2d, kernel, bias, scale, shift, act, act_param):
         """Fused path on an s2d-domain tensor: fold the (optional) BN
@@ -132,7 +134,8 @@ class Conv3d(nn.Module):
             s = s2d_cell_pad(s, (0, pads[1], pads[2]))
         modes = ("s" if pads[0] else "v", "v", "v")
         return s2d_conv(s, kernel, bias, act=act,
-                        alpha=act_param, modes=modes)
+                        alpha=act_param, modes=modes,
+                        input_grad=self.input_grad)
 
     @nn.compact
     def __call__(self, x, scale=None, shift=None, act: Optional[str] = None,
@@ -355,6 +358,7 @@ class BnConvActBlock(nn.Module):
     act_param: float = 0.01
     axis_name: Optional[str] = None
     compute_dtype: Dtype = jnp.float32
+    input_grad: bool = True          # False for entry convs on data
 
     @nn.compact
     def __call__(self, x, train: bool, groups: int = 1):
@@ -365,7 +369,8 @@ class BnConvActBlock(nn.Module):
             s, t = bn(x, use_running_average=not train, fold=True,
                       groups=groups)
             return Conv3d(self.features, self.kernel_size, self.strides,
-                          self.padding, compute_dtype=self.compute_dtype)(
+                          self.padding, compute_dtype=self.compute_dtype,
+                          input_grad=self.input_grad)(
                 x, scale=s, shift=t, act=self.act, act_param=self.act_param)
         x = bn(x, use_running_average=not train, groups=groups)
         x = Conv3d(self.features, self.kernel_size, self.strides,

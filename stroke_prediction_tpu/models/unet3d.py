@@ -68,17 +68,23 @@ def unet_output_spatial(spatial: Sequence[int],
 
 
 class UnetBlock(nn.Module):
-    """Double BN->Conv(3,valid)->LeakyReLU block (reference: Unet3D.py:14-27)."""
+    """Double BN->Conv(3,valid)->LeakyReLU block (reference: Unet3D.py:14-27).
+
+    ``entry=True`` marks the NETWORK's first block: its first conv's
+    input is raw data (BN folded into the kernel for VALID convs), so
+    the s2d backward skips the never-needed dx half."""
 
     features: int
     axis_name: Optional[str] = None
     compute_dtype: Any = jnp.float32
+    entry: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         kw = dict(act="leaky_relu", act_param=0.01, axis_name=self.axis_name,
                   compute_dtype=self.compute_dtype)
-        x = BnConvActBlock(self.features, **kw)(x, train)
+        x = BnConvActBlock(self.features, input_grad=not self.entry,
+                           **kw)(x, train)
         x = BnConvActBlock(self.features, **kw)(x, train)
         return x
 
@@ -103,7 +109,8 @@ class Unet3D(nn.Module):
             # re-layout, pooling is a free channel-group max, and the skip
             # crops exit through the covering cells only
             cd = self.compute_dtype
-            r1 = UnetBlock(b1, **kw)(s2d_pack(x.astype(cd)), train)
+            r1 = UnetBlock(b1, entry=True, **kw)(s2d_pack(x.astype(cd)),
+                                                 train)
             r2 = UnetBlock(b2, **kw)(s2d_pack(s2d_pool2(r1)), train)
             r3 = UnetBlock(b3, **kw)(s2d_pack(s2d_pool2(r2)), train)
 
@@ -146,7 +153,8 @@ class LargeUnet3D(nn.Module):
 
         if conv_impl() == "pallas_s2d":
             cd = self.compute_dtype
-            r1 = UnetBlock(b1, **kw)(s2d_pack(x.astype(cd)), train)
+            r1 = UnetBlock(b1, entry=True, **kw)(s2d_pack(x.astype(cd)),
+                                                 train)
             r2 = UnetBlock(b2, **kw)(s2d_pack(s2d_pool2(r1)), train)
             r3 = UnetBlock(b3, **kw)(s2d_pack(s2d_pool2(r2)), train)
             r4 = UnetBlock(b4, **kw)(s2d_pack(s2d_pool2(r3)), train)

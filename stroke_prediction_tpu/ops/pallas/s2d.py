@@ -192,7 +192,11 @@ def s2d_pool2(s: S2d) -> jnp.ndarray:
     """MaxPool3d(2) (floor) in the s2d domain: a channel-group max — the
     pooled voxel IS the cell's max over its 8 parities.  Returns the
     logical (B, D//2, H//2, W//2, C) tensor (reference: torch
-    max_pool3d(x, 2), common/model/Unet3D.py:56-60)."""
+    max_pool3d(x, 2), common/model/Unet3D.py:56-60).
+
+    (A pairwise-maximum tree over lane-group slices was measured 22%
+    SLOWER end-to-end than this reshape+max — XLA fuses the reshape-max
+    and its gradient well inside the full step; see NOTES.md.)"""
     d, h, w, c = s.logical
     b, dc, hc, wc, _ = s.cells.shape
     # floor semantics: a partially-valid cell is never kept, so the kept
@@ -514,8 +518,10 @@ _BWD_FUSED_VMEM_BUDGET = 40 * 1024 * 1024
 
 
 @functools.partial(
-    jax.jit, static_argnames=("modes", "in_logical", "cin", "interpret"))
-def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret):
+    jax.jit, static_argnames=("modes", "in_logical", "cin", "interpret",
+                              "with_dx"))
+def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret,
+                    with_dx=True):
     """dx+dW pallas pass — fused when the blocks fit the scoped-VMEM
     budget, split into two kernels otherwise.  gpad: cell-padded masked
     cotangent (B, dzo+2*, hpo+2, wpi, co8) (* z already padded per
@@ -561,7 +567,7 @@ def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret):
                    + hci * wpi * c8 * esz                         # dx out
                    + 2 * nq * co8 * c8 * esz                      # wd + dw
                    + hci * wpi * max(c8, co8) * (4 + esz))        # acc+roll
-    if fused_bytes <= _BWD_FUSED_VMEM_BUDGET:
+    if with_dx and fused_bytes <= _BWD_FUSED_VMEM_BUDGET:
         kern = functools.partial(
             _bwd_kernel, nz=nz, hco=hci - 1, hci=hci, wpi=wpi, wcx=wce,
             c8=c8, co8=co8, dco=dco, dx_logical=(d, h, w), cin_real=cin,
@@ -578,17 +584,19 @@ def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret):
         )(*([gpad] * nz), *([xz] * nz), wd)
         return dx, dwq
 
-    dx = pl.pallas_call(
-        functools.partial(_dx_kernel, nz=nz, hci=hci, wpi=wpi, c8=c8,
-                          dx_logical=(d, h, w), cin_real=cin,
-                          interpret=interpret),
-        grid=(b, dzi),
-        in_specs=[gspec(qz) for qz in range(nz)] + [wd_spec],
-        out_specs=dx_spec,
-        out_shape=dx_shape,
-        compiler_params=None if interpret else _compiler_params(),
-        interpret=interpret,
-    )(*([gpad] * nz), wd)
+    dx = None
+    if with_dx:
+        dx = pl.pallas_call(
+            functools.partial(_dx_kernel, nz=nz, hci=hci, wpi=wpi, c8=c8,
+                              dx_logical=(d, h, w), cin_real=cin,
+                              interpret=interpret),
+            grid=(b, dzi),
+            in_specs=[gspec(qz) for qz in range(nz)] + [wd_spec],
+            out_specs=dx_spec,
+            out_shape=dx_shape,
+            compiler_params=None if interpret else _compiler_params(),
+            interpret=interpret,
+        )(*([gpad] * nz), wd)
 
     def gspec_dw(b_, d_):
         return (b_, d_ + 1, 0, 0, 0)
@@ -634,8 +642,9 @@ def _zpad(cells, modes):
     return cells
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _s2d_conv(cells, kernel, bias, in_logical, modes, act, alpha):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _s2d_conv(cells, kernel, bias, in_logical, modes, act, alpha,
+              input_grad=True):
     interpret = _interpret_default()
     wmats, brow, _ = _prep(cells, kernel, bias, modes)
     return _s2d_conv_p(_zpad(cells, modes), wmats, brow, modes=modes,
@@ -644,8 +653,10 @@ def _s2d_conv(cells, kernel, bias, in_logical, modes, act, alpha):
                        interpret=interpret)
 
 
-def _s2d_conv_fwd(cells, kernel, bias, in_logical, modes, act, alpha):
-    y = _s2d_conv(cells, kernel, bias, in_logical, modes, act, alpha)
+def _s2d_conv_fwd(cells, kernel, bias, in_logical, modes, act, alpha,
+                  input_grad=True):
+    y = _s2d_conv(cells, kernel, bias, in_logical, modes, act, alpha,
+                  input_grad)
     return y, (cells, kernel, y)
 
 
@@ -665,7 +676,7 @@ def _out_mask(shape_cells, out_logical, cout_real, dtype):
     return ok
 
 
-def _s2d_conv_bwd(in_logical, modes, act, alpha, res, g):
+def _s2d_conv_bwd(in_logical, modes, act, alpha, input_grad, res, g):
     cells, kernel, y = res
     d, h, w, c = in_logical
     do = d - 2 if modes[0] == "v" else d
@@ -706,14 +717,23 @@ def _s2d_conv_bwd(in_logical, modes, act, alpha, res, g):
                                           (0, 0)))
     dxc, dwq = _s2d_conv_bwd_p(
         _zpad(gpad, modes), _zpad(cells, modes), wd, modes=modes,
-        in_logical=in_logical, cin=ci, interpret=interpret)
-    # physical grid of dx == grid of cells (z/h exact; w by construction)
-    wcp = cells.shape[3]
-    if dxc.shape[3] > wcp:
-        dxc = dxc[:, :, :, :wcp, :]
-    elif dxc.shape[3] < wcp:
-        dxc = jnp.pad(dxc, ((0, 0),) * 3 + ((0, wcp - dxc.shape[3]), (0, 0)))
-    assert dxc.shape == cells.shape, (dxc.shape, cells.shape)
+        in_logical=in_logical, cin=ci, interpret=interpret,
+        with_dx=input_grad)
+    if not input_grad:
+        # entry convs (input is DATA, never differentiated): the dx half
+        # of the backward is skipped entirely — a zero cotangent lets
+        # XLA DCE the whole upstream chain
+        dxc = jnp.zeros_like(cells)
+    else:
+        # physical grid of dx == grid of cells (z/h exact; w by
+        # construction)
+        wcp = cells.shape[3]
+        if dxc.shape[3] > wcp:
+            dxc = dxc[:, :, :, :wcp, :]
+        elif dxc.shape[3] < wcp:
+            dxc = jnp.pad(dxc,
+                          ((0, 0),) * 3 + ((0, wcp - dxc.shape[3]), (0, 0)))
+        assert dxc.shape == cells.shape, (dxc.shape, cells.shape)
 
     # fold the per-shift dW back onto the 27 taps via the tap table
     T = np.asarray(_tap_table(modes))                     # (nq, 8, 8)
@@ -733,17 +753,21 @@ _s2d_conv.defvjp(_s2d_conv_fwd, _s2d_conv_bwd)
 
 def s2d_conv(s: S2d, kernel: jnp.ndarray, bias: jnp.ndarray,
              act: str = "none", alpha: float = 0.01,
-             modes: Tuple[str, str, str] = ("v", "v", "v")) -> S2d:
+             modes: Tuple[str, str, str] = ("v", "v", "v"),
+             input_grad: bool = True) -> S2d:
     """Fused (folded-BN) conv + bias + activation on an s2d tensor.
 
     kernel: (3, 3, 3, C_in, C_out) float32; bias: (C_out,).
     modes: per-axis 'v' (valid) or 's' (pad-1 SAME); even pads are applied
     by the caller via :func:`s2d_cell_pad`.
+    ``input_grad=False`` marks an ENTRY conv whose input is data: the
+    backward runs the dW kernel only (the fused dx+dW pallas pass cannot
+    be dead-code-eliminated by XLA, so the caller must declare it).
     """
     d, h, w, c = s.logical
     assert kernel.shape[3] == c, (kernel.shape, s.logical)
     out = _s2d_conv(s.cells, kernel, bias, s.logical, tuple(modes), act,
-                    float(alpha))
+                    float(alpha), bool(input_grad))
     do = d - 2 if modes[0] == "v" else d
     return S2d(out, (do, h - 2, w - 2, int(kernel.shape[4])))
 

@@ -349,3 +349,28 @@ def test_elu_grad_finite_at_overflow_scale(rng):
                      ("1x1", loss_1x1)):
         g = jax.grad(fn)(x)
         assert bool(jnp.isfinite(g).all()), name
+
+
+def test_s2d_conv_input_grad_false_matches_param_grads(rng):
+    """input_grad=False (entry convs on data) skips the dx half of the
+    backward; kernel/bias gradients must be identical to the full
+    backward, and the returned input cotangent is exactly zero."""
+    x = jnp.asarray(rng.rand(2, 6, 10, 10, 2), jnp.float32)
+    k = jnp.asarray(rng.rand(3, 3, 3, 2, 4) - 0.5, jnp.float32)
+    b = jnp.asarray(rng.rand(4), jnp.float32)
+
+    def f(x, k, b, ig):
+        s = s2d_conv(s2d_pack(x), k, b, act="leaky_relu", alpha=0.01,
+                     input_grad=ig)
+        return jnp.sum(s2d_unpack(s).astype(jnp.float32) ** 2)
+
+    gx_t, gk_t, gb_t = jax.grad(lambda *a: f(*a, True),
+                                argnums=(0, 1, 2))(x, k, b)
+    gx_f, gk_f, gb_f = jax.grad(lambda *a: f(*a, False),
+                                argnums=(0, 1, 2))(x, k, b)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_t),
+                               rtol=1e-5, atol=1e-5)
+    assert float(jnp.abs(gx_f).max()) == 0.0
+    assert float(jnp.abs(gx_t).max()) > 0.0
