@@ -30,6 +30,14 @@ def best(curves, key):
     return max(vals) if vals else None
 
 
+def done(path):
+    """Only consume completed runs: both runners write the curve JSON
+    incrementally after every epoch, so a bare .json may be a partial
+    in-flight run.  A sibling ``<name>.json.done`` marker (touched by
+    the run wrappers on clean exit) gates inclusion."""
+    return os.path.exists(path) and os.path.exists(path + ".done")
+
+
 def main():
     rows = []
     for tpath in sorted(glob.glob(os.path.join(PARITY_DIR,
@@ -40,8 +48,8 @@ def main():
             continue
         config, tag = m.group(1), m.group(2)
         jpath = tpath.replace("_torch.json", "_jax.json")
-        if not os.path.exists(jpath):
-            print(f"skip {config} fold{tag}: no JAX run yet")
+        if not done(tpath) or not done(jpath):
+            print(f"skip {config} fold{tag}: pair not complete yet")
             continue
         with open(tpath) as f:
             tc = json.load(f)
@@ -63,12 +71,19 @@ def main():
         "Statistic: best validation Dice over the run (what the",
         "best-valid checkpointing selects).  Positive delta = JAX better.",
         "",
-        "Reading the numbers: the penumbra (the largest structure, least",
-        "affected by the 29-case set's run-to-run noise) is the cleanest",
-        "parity signal.  Core and 35-epoch CAE numbers are mid-convergence",
-        "on small structures, where both frameworks show large run-to-run",
-        "spread (see the seed-noise appendix); across those comparisons",
-        "the JAX side matches or beats the torch side on average.",
+        "How to read this: the ±0.005 target is met where the training",
+        "runs are converged (penumbra at 35 epochs; everything at the",
+        "reference-length 200-epoch budget below).  The 35-epoch core and",
+        "CAE rows are mid-convergence snapshots on small structures whose",
+        "run-to-run spread is MEASURED two-sidedly in the seed-noise",
+        "appendix — deltas inside that band carry no framework signal.",
+        "",
+        "The round-2 outlier (unet fold-0 core: torch 0.579 vs JAX 0.951)",
+        "is resolved by the replicates: torch seeds 5/6 reach 0.957/0.913",
+        "on the same fold (torch-side seed spread 0.378 > the outlier",
+        "delta), and the 200-epoch torch run with the SAME seed 4",
+        "converges to ~0.97 — the 35-epoch torch seed-4 core was simply",
+        "not yet converged, not a framework difference.",
         "",
         "| config | fold set | structure | torch best DC | jax best DC "
         "| delta |",
@@ -106,7 +121,7 @@ def main():
             config, tag, seed = m.group(1), m.group(2), m.group(3)
             base = os.path.join(PARITY_DIR,
                                 base_fmt.format(c=config, t=tag))
-            if not os.path.exists(base):
+            if not done(spath) or not done(base):
                 continue
             with open(base) as f:
                 c0 = json.load(f)
@@ -151,7 +166,7 @@ def main():
             continue
         config, tag = m.group(1), m.group(2)
         jpath = tpath.replace("_torch.json", "_jax.json")
-        if not os.path.exists(jpath):
+        if not done(tpath) or not done(jpath):
             continue
         with open(tpath) as f:
             tc = json.load(f)
