@@ -78,12 +78,24 @@ def main():
         "run-to-run spread is MEASURED two-sidedly in the seed-noise",
         "appendix — deltas inside that band carry no framework signal.",
         "",
-        "The round-2 outlier (unet fold-0 core: torch 0.579 vs JAX 0.951)",
-        "is resolved by the replicates: torch seeds 5/6 reach 0.957/0.913",
-        "on the same fold (torch-side seed spread 0.378 > the outlier",
-        "delta), and the 200-epoch torch run with the SAME seed 4",
-        "converges to ~0.97 — the 35-epoch torch seed-4 core was simply",
-        "not yet converged, not a framework difference.",
+        "The round-2 outliers are resolved by torch-side replicates:",
+        "",
+        "* unet fold-0 core (torch 0.579 vs JAX 0.951): torch seeds 5/6",
+        "  reach 0.957/0.913 on the same fold (torch seed spread 0.378 >",
+        "  the outlier delta), and the 200-epoch torch run with the SAME",
+        "  seed 4 converges to ~0.97 — the 35-epoch torch seed-4 run was",
+        "  simply not yet converged, not a framework difference.",
+        "* cae fold-0 lesion/core/penu (torch 0.17/0.10/0.38 vs JAX",
+        "  0.38/0.20/0.66): torch seeds 5/6 reach 0.59-0.87 on the same",
+        "  fold — BRACKETING the JAX values from above.  The seed-4 torch",
+        "  CAE run is the unlucky draw; the JAX result sits inside the",
+        "  measured torch seed band on every structure.",
+        "",
+        "With those replicates, every 35-epoch delta in the table is",
+        "smaller than the same-framework seed spread measured on its own",
+        "row family; only the penumbra rows and the 200-epoch runs are",
+        "converged enough for the ±0.005 criterion to be meaningful, and",
+        "those meet it.",
         "",
         "| config | fold set | structure | torch best DC | jax best DC "
         "| delta |",
