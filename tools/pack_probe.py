@@ -93,6 +93,83 @@ def poolpack_mm(s: S2d):
     return pack_mm(s2d_pool2(s))
 
 
+def _lane_perm(shape, order, dtype):
+    """One-hot (n, n) lane permutation: out = in @ P reorders merged
+    lane blocks ``shape`` (row-major) into ``order``."""
+    n = int(np.prod(shape))
+    idx = np.arange(n).reshape(shape).transpose(order).reshape(n)
+    P = np.zeros((n, n), np.float32)
+    P[idx, np.arange(n)] = 1.0
+    return jnp.asarray(P, dtype)
+
+
+def pack_wide(x, dtype=None, small_o=False):
+    """s2d_pack with the interleave gemms run at MERGED (w*c) lane width.
+
+    pack_mm's einsums kept ``w`` as a batch dim, so their gemms ran at
+    N = 2c..4c lanes (the measured '32-lane blocks' plateau).  Here the
+    H and D parity splits contract over sublane dims at N = w*c width,
+    and the lane reorders are one-hot matmuls too:
+
+      * ``small_o=False``: square (n, n) lane-permutation matmuls
+        (K = N = wc*4c..8c — wide, but the constant is n^2);
+      * ``small_o=True``: keep ``wc`` as a tensor dim and contract only
+        the tiny (parity, 2c) -> 8c one-hot (K = N = 8c).
+    """
+    b, d, h, w, c = x.shape
+    if dtype is not None:
+        x = x.astype(dtype)
+    wc = _round_up(_cells(w), 8)
+    pads = ((0, 0), (0, d % 2), (0, h % 2), (0, 2 * wc - w), (0, 0))
+    if any(p != (0, 0) for p in pads):
+        x = jnp.pad(x, pads)
+    dc, hc = x.shape[1] // 2, x.shape[2] // 2
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+    dt = x.dtype
+
+    y = x.reshape(b, 2 * dc, 2 * hc, wc, 2 * c)      # lane blocks (pw, c)
+    m = wc * 2 * c
+    ym = y.reshape(b, 2 * dc, 2 * hc, m)
+    Mh = _parity_split_eye(hc, 2 * hc, dt)
+    z = jnp.einsum("pHh,bzhm->bzHpm", Mh, ym, precision=prec)
+    Md = _parity_split_eye(dc, 2 * dc, dt)
+    u = jnp.einsum("qZz,bzHpm->bZHqpm", Md, z, precision=prec)
+    # lanes now (pd, ph, wc, pw, c) split as (q, p, m) dims
+    if small_o:
+        ur = u.reshape(b, dc, hc, 4, wc, 2 * c)
+        O = _lane_perm((4, 2 * c), (0, 1), dt)       # identity merge
+        out = jnp.einsum("bzhpkr,prs->bzhks",
+                         ur, O.reshape(4, 2 * c, 8 * c), precision=prec)
+    else:
+        um = u.reshape(b, dc, hc, 4 * m)
+        P = _lane_perm((2, 2, wc, 2 * c), (2, 0, 1, 3), dt)
+        out = jnp.einsum("bzhn,nt->bzht", um, P,
+                         precision=prec).reshape(b, dc, hc, wc, 8 * c)
+        lanes = _round_up(8 * c, 128)
+        if lanes != 8 * c:
+            out = jnp.pad(out, ((0, 0),) * 4 + ((0, lanes - 8 * c),))
+        return S2d(out, (d, h, w, c))
+    lanes = _round_up(8 * c, 128)
+    if lanes != 8 * c:
+        out = jnp.pad(out, ((0, 0),) * 4 + ((0, lanes - 8 * c),))
+    return S2d(out, (d, h, w, c))
+
+
+def pool2_wide(s: S2d):
+    """pool2 as a lane-halving maximum tree (no (8, c) reshape, no
+    layout change): parity-major lanes reduce pairwise to the per-cell
+    max in 3 contiguous-slice maxima."""
+    d, h, w, c = s.logical
+    y = s.cells[..., :8 * c]
+    for width in (4 * c, 2 * c, c):
+        y = jnp.maximum(y[..., :width], y[..., width:2 * width])
+    return y[:, :d // 2, :h // 2, :w // 2, :]
+
+
+def poolpack_wide(s: S2d, small_o=False):
+    return pack_wide(pool2_wide(s), small_o=small_o)
+
+
 def main():
     rng = np.random.RandomState(0)
 
@@ -105,8 +182,16 @@ def main():
     err = float(jnp.max(jnp.abs(a.cells.astype(jnp.float32)
                                 - bm.cells.astype(jnp.float32))))
     print("L1 pack parity err:", err)
+    p_w = jax.jit(lambda v: pack_wide(v))
+    p_ws = jax.jit(lambda v: pack_wide(v, small_o=True))
+    for name, f in (("wide", p_w), ("wide-small", p_ws)):
+        e = float(jnp.max(jnp.abs(a.cells.astype(jnp.float32)
+                                  - f(x1).cells.astype(jnp.float32))))
+        print(f"L1 pack_{name} parity err:", e)
     timed(p_ref, x1, label="L1 pack (current transpose)")
     timed(p_mm, x1, label="L1 pack (einsum)")
+    timed(p_w, x1, label="L1 pack (wide perm-mm)")
+    timed(p_ws, x1, label="L1 pack (wide small-o)")
 
     # L2 entry: r1 is (6, 64, 164, 164, 16) logical -> cells
     r1 = jnp.asarray(rng.rand(6, 64, 164, 164, 16), DTYPE)
@@ -118,8 +203,16 @@ def main():
     err = float(jnp.max(jnp.abs(a.cells.astype(jnp.float32)
                                 - bm.cells.astype(jnp.float32))))
     print("L2 poolpack parity err:", err)
+    pool_w = jax.jit(lambda s: poolpack_wide(s))
+    pool_ws = jax.jit(lambda s: poolpack_wide(s, small_o=True))
+    for name, f in (("wide", pool_w), ("wide-small", pool_ws)):
+        e = float(jnp.max(jnp.abs(a.cells.astype(jnp.float32)
+                                  - f(s1).cells.astype(jnp.float32))))
+        print(f"L2 poolpack_{name} parity err:", e)
     timed(pool_ref, s1, label="L2 pool2+pack (current)")
     timed(pool_mm, s1, label="L2 pool2+pack (einsum)")
+    timed(pool_w, s1, label="L2 pool2+pack (wide perm-mm)")
+    timed(pool_ws, s1, label="L2 pool2+pack (wide small-o)")
 
     # L3 entry: r2 is (6, 28, 78, 78, 32)
     r2 = jnp.asarray(rng.rand(6, 28, 78, 78, 32), DTYPE)
