@@ -26,7 +26,7 @@ from stroke_prediction_tpu.ops import (
     center_crop, max_pool3d, upsample2x_trilinear)
 from stroke_prediction_tpu.ops.pallas.s2d import (
     s2d_center_crop, s2d_center_crop_cells, s2d_concat_channels, s2d_pack,
-    s2d_pool2, s2d_unpack, upsample2x_to_s2d)
+    s2d_pool2, s2d_poolpack, s2d_unpack, upsample2x_to_s2d)
 
 
 def _s2d_up_concat(r_low, r_skip, compute_dtype):
@@ -111,8 +111,8 @@ class Unet3D(nn.Module):
             cd = self.compute_dtype
             r1 = UnetBlock(b1, entry=True, **kw)(s2d_pack(x.astype(cd)),
                                                  train)
-            r2 = UnetBlock(b2, **kw)(s2d_pack(s2d_pool2(r1)), train)
-            r3 = UnetBlock(b3, **kw)(s2d_pack(s2d_pool2(r2)), train)
+            r2 = UnetBlock(b2, **kw)(s2d_poolpack(r1), train)
+            r3 = UnetBlock(b3, **kw)(s2d_poolpack(r2), train)
 
             r4 = UnetBlock(b4, **kw)(_s2d_up_concat(r3, r2, cd), train)
             r5 = UnetBlock(b5, **kw)(_s2d_up_concat(r4, r1, cd), train)
@@ -155,9 +155,9 @@ class LargeUnet3D(nn.Module):
             cd = self.compute_dtype
             r1 = UnetBlock(b1, entry=True, **kw)(s2d_pack(x.astype(cd)),
                                                  train)
-            r2 = UnetBlock(b2, **kw)(s2d_pack(s2d_pool2(r1)), train)
-            r3 = UnetBlock(b3, **kw)(s2d_pack(s2d_pool2(r2)), train)
-            r4 = UnetBlock(b4, **kw)(s2d_pack(s2d_pool2(r3)), train)
+            r2 = UnetBlock(b2, **kw)(s2d_poolpack(r1), train)
+            r3 = UnetBlock(b3, **kw)(s2d_poolpack(r2), train)
+            r4 = UnetBlock(b4, **kw)(s2d_poolpack(r3), train)
 
             r5 = UnetBlock(b5, **kw)(_s2d_up_concat(r4, r3, cd), train)
             r6 = UnetBlock(b6, **kw)(_s2d_up_concat(r5, r2, cd), train)

@@ -110,16 +110,89 @@ jax.tree_util.register_pytree_node(
     lambda logical, xs: S2d(xs[0], logical))
 
 
+def pack_impl() -> str:
+    """Active pack implementation: 'transpose' (single-axis interleave
+    transposes) or 'wide' / 'wide_small' (interleaves as one-hot gemms
+    at merged ``w*c`` lane width — the transpose path's gemm-free layout
+    shuffles run at 2c..4c-lane blocks, the measured relayout
+    bottleneck; see tools/pack_probe.py).  Override with
+    STROKE_TPU_PACK_IMPL; 'auto' selects 'transpose' (TPU A/B of the
+    wide variants pending)."""
+    v = os.environ.get("STROKE_TPU_PACK_IMPL", "auto")
+    if v == "auto":
+        return "transpose"
+    return v
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_perm_np(shape: Tuple[int, ...], order: Tuple[int, ...]):
+    """One-hot (n, n) lane permutation: ``out = in @ P`` reorders merged
+    lane blocks ``shape`` (row-major) into ``order``."""
+    n = int(np.prod(shape))
+    idx = np.arange(n).reshape(shape).transpose(order).reshape(n)
+    P = np.zeros((n, n), np.float32)
+    P[idx, np.arange(n)] = 1.0
+    return P
+
+
+@functools.lru_cache(maxsize=None)
+def _parity_split_np(n_out: int, n_in: int):
+    """(2, n_out, n_in) one-hot: [p, i, j] = 1 iff j == 2i + p."""
+    i = np.arange(n_out)
+    m = np.zeros((2, n_out, n_in), np.float32)
+    for p in range(2):
+        src = 2 * i + p
+        ok = src < n_in
+        m[p, i[ok], src[ok]] = 1.0
+    return m
+
+
+def _pack_interleave_transpose(y, b, dc, hc, wc, c):
+    """H and D interleaves as single-axis layout transposes."""
+    y = y.reshape(b, 2 * dc, hc, 2, wc, 2 * c)
+    y = y.swapaxes(3, 4).reshape(b, 2 * dc, hc, wc, 4 * c)  # (ph, pw, c)
+    y = y.reshape(b, dc, 2, hc, wc, 4 * c)
+    return jnp.moveaxis(y, 2, 4).reshape(b, dc, hc, wc, 8 * c)
+
+
+def _pack_interleave_wide(y, b, dc, hc, wc, c, small_o: bool):
+    """H and D interleaves as one-hot parity-split gemms over the merged
+    ``wc * 2c`` lane dim (N stays MXU-wide instead of 2c..4c), then ONE
+    lane reorder: a square ``(4m, 4m)`` one-hot permutation matmul, or —
+    'wide_small' — a tiny ``(4, 2c) -> 8c`` one-hot with ``wc`` kept as
+    a tensor dim.  One-hot selections are exact for bf16 inputs at any
+    matmul precision; f32 uses HIGHEST (the TPU default would round the
+    values through bf16)."""
+    dt = y.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else None)
+    m = wc * 2 * c
+    ym = y.reshape(b, 2 * dc, 2 * hc, m)
+    Mh = jnp.asarray(_parity_split_np(hc, 2 * hc), dt)
+    z = jnp.einsum("pHh,bzhm->bzHpm", Mh, ym, precision=prec)
+    Md = jnp.asarray(_parity_split_np(dc, 2 * dc), dt)
+    u = jnp.einsum("qZz,bzHpm->bZHqpm", Md, z, precision=prec)
+    # lanes now ordered (pd, ph, wc, pw, c) as dims (q, p, m)
+    if small_o:
+        ur = u.reshape(b, dc, hc, 4, wc, 2 * c)
+        O = jnp.asarray(
+            _lane_perm_np((4, 2 * c), (0, 1)).reshape(4, 2 * c, 8 * c), dt)
+        return jnp.einsum("bzhpkr,prs->bzhks", ur, O, precision=prec)
+    um = u.reshape(b, dc, hc, 4 * m)
+    P = jnp.asarray(_lane_perm_np((2, 2, wc, 2 * c), (2, 0, 1, 3)), dt)
+    out = jnp.einsum("bzhn,nt->bzht", um, P, precision=prec)
+    return out.reshape(b, dc, hc, wc, 8 * c)
+
+
 def s2d_pack(x: jnp.ndarray, dtype=None) -> S2d:
     """(B, D, H, W, C) -> S2d.  Zero-pads odd spatial dims and the W cell
     grid to a multiple of 8; the interleave runs at the REAL channel
     width (lane padding to a 128 multiple happens last, as a cheap
     bandwidth-bound pad instead of an 8x-inflated transpose).
 
-    Decomposed per axis (W interleave is a free reshape; H and D are
-    single-axis interleaves) — measured ~2.5x faster than the naive 8-way
-    transpose on TPU.  The engine runs at the input's dtype (the caller
-    casts to its compute dtype first; bf16 on TPU by default).
+    The W interleave is a free reshape; the H and D interleaves run on
+    the :func:`pack_impl` path — single-axis transposes, or one-hot
+    gemms over merged lanes.  The engine runs at the input's dtype (the
+    caller casts to its compute dtype first; bf16 on TPU by default).
     """
     b, d, h, w, c = x.shape
     wc = _round_up(_cells(w), 8)
@@ -130,10 +203,12 @@ def s2d_pack(x: jnp.ndarray, dtype=None) -> S2d:
         x = jnp.pad(x, pads)
     dc, hc = x.shape[1] // 2, x.shape[2] // 2
     y = x.reshape(b, 2 * dc, 2 * hc, wc, 2 * c)             # (pw, c): free
-    y = y.reshape(b, 2 * dc, hc, 2, wc, 2 * c)
-    y = y.swapaxes(3, 4).reshape(b, 2 * dc, hc, wc, 4 * c)  # (ph, pw, c)
-    y = y.reshape(b, dc, 2, hc, wc, 4 * c)
-    y = jnp.moveaxis(y, 2, 4).reshape(b, dc, hc, wc, 8 * c)
+    impl = pack_impl()
+    if impl == "transpose":
+        y = _pack_interleave_transpose(y, b, dc, hc, wc, c)
+    else:
+        y = _pack_interleave_wide(y, b, dc, hc, wc, c,
+                                  small_o=(impl == "wide_small"))
     lanes = _round_up(8 * c, 128)
     if lanes != 8 * c:
         y = jnp.pad(y, ((0, 0),) * 4 + ((0, lanes - 8 * c),))
@@ -204,6 +279,21 @@ def s2d_pool2(s: S2d) -> jnp.ndarray:
     y = s.cells[..., :8 * c].reshape(b, dc, hc, wc, 8, c)
     out = jnp.max(y, axis=4)
     return out[:, :d // 2, :h // 2, :w // 2, :]
+
+
+def s2d_poolpack(s: S2d) -> S2d:
+    """Fused MaxPool3d(2) + next-scale re-pack (the U-Net's between-scale
+    transition).  On the 'wide' pack paths the pool is a lane-halving
+    maximum tree (3 contiguous-slice maxima, no (8, c) layout split) and
+    the re-pack runs as merged-lane one-hot gemms; the 'transpose' path
+    composes :func:`s2d_pool2` + :func:`s2d_pack`."""
+    if pack_impl() == "transpose":
+        return s2d_pack(s2d_pool2(s))
+    d, h, w, c = s.logical
+    y = s.cells[..., :8 * c]
+    for width in (4 * c, 2 * c, c):
+        y = jnp.maximum(y[..., :width], y[..., width:2 * width])
+    return s2d_pack(y[:, :d // 2, :h // 2, :w // 2, :])
 
 
 def s2d_stride2(s: S2d) -> jnp.ndarray:
@@ -293,31 +383,14 @@ def _act(y, act: str, alpha: float):
 
 def _conv_kernel(*refs, nz: int, hco: int, wcp: int, c8: int, act: str,
                  alpha: float, out_dtype, out_logical, cout_real: int,
-                 interpret: bool):
+                 bb: int, interpret: bool):
     x_refs = refs[:nz]
     w_ref, b_ref, o_ref = refs[nz], refs[nz + 1], refs[nz + 2]
     do, ho, wo = out_logical
     co8 = w_ref.shape[-1]
 
-    # one accumulated MXU matmul per tap view; measured equal to
-    # concatenated deep-K variants (the MXU streams ~2 rows/cycle at
-    # N=128 either way), and the views stay zero-copy
-    acc = None
-    for zi in range(nz):
-        base = x_refs[zi][0, 0]                       # (hci, wcp, c8)
-        rolled = _roll_w(base, interpret)
-        for qy in range(2):
-            for qx, xv in ((0, base), (1, rolled)):
-                rows = xv[qy:qy + hco].reshape(hco * wcp, c8)
-                part = jnp.dot(rows, w_ref[(zi * 2 + qy) * 2 + qx],
-                               preferred_element_type=jnp.float32)
-                acc = part if acc is None else acc + part
-
-    y = _act(acc + b_ref[:], act, alpha)
-
     # zero-invariant mask: kill voxels beyond the logical output extent
     # (odd dims / grid padding) and padded output channels
-    y = y.reshape(hco, wcp, co8)
     zc = pl.program_id(1)
     cid = jax.lax.broadcasted_iota(jnp.int32, (hco, wcp, co8), 2)
     hid = jax.lax.broadcasted_iota(jnp.int32, (hco, wcp, co8), 0)
@@ -326,8 +399,27 @@ def _conv_kernel(*refs, nz: int, hco: int, wcp: int, c8: int, act: str,
         (cid // (2 * cout_real)) % 2, (cid // cout_real) % 2
     ok = ((2 * zc + pz < do) & (2 * hid + py < ho) & (2 * wid + px < wo)
           & (cid < 8 * cout_real))
-    y = jnp.where(ok, y, 0.0)
-    o_ref[:] = y.reshape(1, 1, hco, wcp, co8).astype(out_dtype)
+
+    # one accumulated MXU matmul per tap view; measured equal to
+    # concatenated deep-K variants (the MXU streams ~2 rows/cycle at
+    # N=128 either way), and the views stay zero-copy.  The batch block
+    # (bb samples, statically unrolled) amortizes the per-grid-step
+    # overhead that dominates at (1, 1, H, W, C) blocks.
+    for s in range(bb):
+        acc = None
+        for zi in range(nz):
+            base = x_refs[zi][s, 0]                   # (hci, wcp, c8)
+            rolled = _roll_w(base, interpret)
+            for qy in range(2):
+                for qx, xv in ((0, base), (1, rolled)):
+                    rows = xv[qy:qy + hco].reshape(hco * wcp, c8)
+                    part = jnp.dot(rows, w_ref[(zi * 2 + qy) * 2 + qx],
+                                   preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
+
+        y = _act(acc + b_ref[:], act, alpha)
+        y = jnp.where(ok, y.reshape(hco, wcp, co8), 0.0)
+        o_ref[s] = y.reshape(1, hco, wcp, co8).astype(out_dtype)
 
 
 @functools.partial(
@@ -348,27 +440,32 @@ def _s2d_conv_p(cells, wmats, brow, *, modes, act, alpha, in_logical,
     nq, _, co8 = wmats.shape
     assert nq == nz * 4, (nq, nz)
 
+    esz = jnp.dtype(cells.dtype).itemsize
+    per_b = (nz * hci * wcp * c8 + hco * wcp * co8) * esz \
+        + hco * wcp * co8 * 4
+    bb = _batch_block(b, per_b)
+
     # weight layout per (qz, qy, qx) -> kernel loop order (zi, qy, qx)
     kern = functools.partial(
         _conv_kernel, nz=nz, hco=hco, wcp=wcp, c8=c8, act=act, alpha=alpha,
         out_dtype=out_dtype, out_logical=(do, ho, wo),
-        cout_real=cout, interpret=interpret)
+        cout_real=cout, bb=bb, interpret=interpret)
 
     def xspec(qz):
-        return pl.BlockSpec((1, 1, hci, wcp, c8),
+        return pl.BlockSpec((bb, 1, hci, wcp, c8),
                             lambda b, d, qz=qz: (b, d + qz, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kern,
-        grid=(b, dco),
+        grid=(b // bb, dco),
         in_specs=[xspec(qz) for qz in range(nz)] + [
             pl.BlockSpec((nq, c8, co8), lambda b, d: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co8), lambda b, d: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, hco, wcp, co8),
+        out_specs=pl.BlockSpec((bb, 1, hco, wcp, co8),
                                lambda b, d: (b, d, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, dco, hco, wcp, co8), out_dtype),
@@ -384,30 +481,19 @@ def _s2d_conv_p(cells, wmats, brow, *, modes, act, alpha, in_logical,
 
 def _bwd_kernel(*refs, nz: int, hco: int, hci: int, wpi: int, wcx: int,
                 c8: int, co8: int, dco: int, dx_logical, cin_real: int,
-                interpret: bool):
-    """One grid step (b, d): the dx block at z-cell d (dual conv over the
-    cell-padded cotangent) AND this step's dW contribution (g-cell d x
-    the forward tap views), accumulated into a VMEM-resident block.
-    Sharing the pass means the cotangent is DMA'd once and the dW
-    matmuls stream at the same rate as the forward's."""
+                bb: int, interpret: bool):
+    """One grid step (b-block, d): the dx blocks at z-cell d (dual conv
+    over the cell-padded cotangent) AND this step's dW contribution
+    (g-cell d x the forward tap views), accumulated into a VMEM-resident
+    block.  Sharing the pass means the cotangent is DMA'd once and the
+    dW matmuls stream at the same rate as the forward's; the bb-sample
+    batch block amortizes per-grid-step overhead."""
     g_refs = refs[:nz]
     x_refs = refs[nz:2 * nz]
     wd_ref = refs[2 * nz]
     dx_ref, dw_ref = refs[2 * nz + 1], refs[2 * nz + 2]
     bi, d = pl.program_id(0), pl.program_id(1)
 
-    # ---- dx: the dual conv on the gpad views (same shape as forward)
-    acc = None
-    for zi in range(nz):
-        base = g_refs[zi][0, 0]                      # (hpi, wpi, co8)
-        rolled = _roll_w(base, interpret)
-        for qy in range(2):
-            for qx, xv in ((0, base), (1, rolled)):
-                rows = xv[qy:qy + hci].reshape(hci * wpi, co8)
-                part = jnp.dot(rows, wd_ref[(zi * 2 + qy) * 2 + qx],
-                               preferred_element_type=jnp.float32)
-                acc = part if acc is None else acc + part
-    y = acc.reshape(hci, wpi, c8)
     di, hi, wi = dx_logical                          # forward INPUT extent
     cid = jax.lax.broadcasted_iota(jnp.int32, (hci, wpi, c8), 2)
     hid = jax.lax.broadcasted_iota(jnp.int32, (hci, wpi, c8), 0)
@@ -417,8 +503,22 @@ def _bwd_kernel(*refs, nz: int, hco: int, hci: int, wpi: int, wcx: int,
     px = (cid // cin_real) % 2
     ok = ((2 * d + pz < di) & (2 * hid + py < hi) & (2 * wid + px < wi)
           & (cid < 8 * cin_real))
-    dx_ref[:] = jnp.where(ok, y, 0.0).reshape(
-        1, 1, hci, wpi, c8).astype(dx_ref.dtype)
+
+    # ---- dx: the dual conv on the gpad views (same shape as forward)
+    for s in range(bb):
+        acc = None
+        for zi in range(nz):
+            base = g_refs[zi][s, 0]                  # (hpi, wpi, co8)
+            rolled = _roll_w(base, interpret)
+            for qy in range(2):
+                for qx, xv in ((0, base), (1, rolled)):
+                    rows = xv[qy:qy + hci].reshape(hci * wpi, co8)
+                    part = jnp.dot(rows, wd_ref[(zi * 2 + qy) * 2 + qx],
+                                   preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
+        y = acc.reshape(hci, wpi, c8)
+        dx_ref[s] = jnp.where(ok, y, 0.0).reshape(
+            1, hci, wpi, c8).astype(dx_ref.dtype)
 
     # ---- dW: g-cell d (= gpad view qz=1, H/W front-shifted) x tap views
     @pl.when(jnp.logical_and(bi == 0, d == 0))
@@ -427,40 +527,30 @@ def _bwd_kernel(*refs, nz: int, hco: int, hci: int, wpi: int, wcx: int,
 
     @pl.when(d < dco)
     def _():
-        gblk = g_refs[1][0, 0]                       # gpad[d+1] = g cell d
-        grows = _roll_w(gblk, interpret)[1:1 + hco, :wcx, :]
-        grows = grows.reshape(hco * wcx, co8)
-        for zi in range(nz):
-            base = x_refs[zi][0, 0]                  # (hci, wcx, c8)
-            rolled = _roll_w(base, interpret)
-            for qy in range(2):
-                for qx, xv in ((0, base), (1, rolled)):
-                    rows = xv[qy:qy + hco].reshape(hco * wcx, c8)
-                    qi = (zi * 2 + qy) * 2 + qx
-                    dw_ref[qi] += jax.lax.dot_general(
-                        rows, grows, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+        for s in range(bb):
+            gblk = g_refs[1][s, 0]                   # gpad[d+1] = g cell d
+            grows = _roll_w(gblk, interpret)[1:1 + hco, :wcx, :]
+            grows = grows.reshape(hco * wcx, co8)
+            for zi in range(nz):
+                base = x_refs[zi][s, 0]              # (hci, wcx, c8)
+                rolled = _roll_w(base, interpret)
+                for qy in range(2):
+                    for qx, xv in ((0, base), (1, rolled)):
+                        rows = xv[qy:qy + hco].reshape(hco * wcx, c8)
+                        qi = (zi * 2 + qy) * 2 + qx
+                        dw_ref[qi] += jax.lax.dot_general(
+                            rows, grows, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
 
 
 def _dx_kernel(*refs, nz: int, hci: int, wpi: int, c8: int,
-               dx_logical, cin_real: int, interpret: bool):
+               dx_logical, cin_real: int, bb: int, interpret: bool):
     """dx only: the dual conv on the cell-padded cotangent (the first
     half of :func:`_bwd_kernel`), used when the fused pass would exceed
     the TPU's scoped-VMEM limit (full-resolution decoder layers)."""
     g_refs = refs[:nz]
     wd_ref, dx_ref = refs[nz], refs[nz + 1]
     d = pl.program_id(1)
-    acc = None
-    for zi in range(nz):
-        base = g_refs[zi][0, 0]
-        rolled = _roll_w(base, interpret)
-        for qy in range(2):
-            for qx, xv in ((0, base), (1, rolled)):
-                rows = xv[qy:qy + hci].reshape(hci * wpi, base.shape[-1])
-                part = jnp.dot(rows, wd_ref[(zi * 2 + qy) * 2 + qx],
-                               preferred_element_type=jnp.float32)
-                acc = part if acc is None else acc + part
-    y = acc.reshape(hci, wpi, c8)
     di, hi, wi = dx_logical
     cid = jax.lax.broadcasted_iota(jnp.int32, (hci, wpi, c8), 2)
     hid = jax.lax.broadcasted_iota(jnp.int32, (hci, wpi, c8), 0)
@@ -470,12 +560,25 @@ def _dx_kernel(*refs, nz: int, hci: int, wpi: int, c8: int,
     px = (cid // cin_real) % 2
     ok = ((2 * d + pz < di) & (2 * hid + py < hi) & (2 * wid + px < wi)
           & (cid < 8 * cin_real))
-    dx_ref[:] = jnp.where(ok, y, 0.0).reshape(
-        1, 1, hci, wpi, c8).astype(dx_ref.dtype)
+    for s in range(bb):
+        acc = None
+        for zi in range(nz):
+            base = g_refs[zi][s, 0]
+            rolled = _roll_w(base, interpret)
+            for qy in range(2):
+                for qx, xv in ((0, base), (1, rolled)):
+                    rows = xv[qy:qy + hci].reshape(hci * wpi,
+                                                   base.shape[-1])
+                    part = jnp.dot(rows, wd_ref[(zi * 2 + qy) * 2 + qx],
+                                   preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
+        y = acc.reshape(hci, wpi, c8)
+        dx_ref[s] = jnp.where(ok, y, 0.0).reshape(
+            1, hci, wpi, c8).astype(dx_ref.dtype)
 
 
 def _dw_kernel(*refs, nz: int, hco: int, wcx: int, c8: int, co8: int,
-               interpret: bool):
+               bb: int, interpret: bool):
     """dW only: per-g-cell (tap view x cotangent) accumulation (the
     second half of :func:`_bwd_kernel`)."""
     g_ref = refs[0]
@@ -487,19 +590,20 @@ def _dw_kernel(*refs, nz: int, hco: int, wcx: int, c8: int, co8: int,
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    gblk = g_ref[0, 0]
-    grows = _roll_w(gblk, interpret)[1:1 + hco, :wcx, :]
-    grows = grows.reshape(hco * wcx, co8)
-    for zi in range(nz):
-        base = x_refs[zi][0, 0]
-        rolled = _roll_w(base, interpret)
-        for qy in range(2):
-            for qx, xv in ((0, base), (1, rolled)):
-                rows = xv[qy:qy + hco].reshape(hco * wcx, c8)
-                qi = (zi * 2 + qy) * 2 + qx
-                dw_ref[qi] += jax.lax.dot_general(
-                    rows, grows, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+    for s in range(bb):
+        gblk = g_ref[s, 0]
+        grows = _roll_w(gblk, interpret)[1:1 + hco, :wcx, :]
+        grows = grows.reshape(hco * wcx, co8)
+        for zi in range(nz):
+            base = x_refs[zi][s, 0]
+            rolled = _roll_w(base, interpret)
+            for qy in range(2):
+                for qx, xv in ((0, base), (1, rolled)):
+                    rows = xv[qy:qy + hco].reshape(hco * wcx, c8)
+                    qi = (zi * 2 + qy) * 2 + qx
+                    dw_ref[qi] += jax.lax.dot_general(
+                        rows, grows, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
 
 def _compiler_params():
@@ -507,6 +611,26 @@ def _compiler_params():
     full-resolution decoder layers legitimately stage ~20MB of
     double-buffered blocks (v5e has 128MB VMEM)."""
     return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _batch_block(b: int, per_b_bytes: int,
+                 budget: int = 32 * 1024 * 1024) -> int:
+    """Largest divisor of the batch whose per-grid-step footprint stays
+    under ``budget`` (double-buffered against the 96MB scoped-VMEM
+    ceiling).  Processing bb samples per grid step amortizes the
+    per-step overhead that dominates at (1, 1, H, W, C) blocks.
+
+    STROKE_TPU_BB='auto' computes the largest in-budget divisor; an
+    integer forces that block size.  Unset currently means 1 (the
+    per-sample grid): the blocked kernels are correctness-verified but
+    their TPU A/B is pending, so the proven grid stays the default."""
+    force = os.environ.get("STROKE_TPU_BB", "1")
+    if force != "auto":
+        return max(1, min(int(force), b))
+    for bb in range(b, 0, -1):
+        if b % bb == 0 and bb * per_b_bytes <= budget:
+            return bb
+    return 1
 
 
 # Budget for one grid step of the FUSED bwd kernel (the estimate below
@@ -539,8 +663,16 @@ def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret,
     assert wd.shape[0] == nq, (wd.shape, nq)
     wce = min(wcx, wpi)
 
+    esz = jnp.dtype(gpad.dtype).itemsize
+    per_b = (nz * (hpi * wpi * co8 + hci * wcx * c8) * esz  # refs
+             + hci * wpi * c8 * esz                         # dx out
+             + hci * wpi * max(c8, co8) * (4 + esz))        # acc+roll
+    bb = _batch_block(b, per_b,
+                      budget=_BWD_FUSED_VMEM_BUDGET
+                      - 2 * nq * co8 * c8 * esz)
+
     def gspec(qz):
-        return pl.BlockSpec((1, 1, hpi, wpi, co8),
+        return pl.BlockSpec((bb, 1, hpi, wpi, co8),
                             lambda b, d, qz=qz: (b, d + qz, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -548,13 +680,13 @@ def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret,
 
     def xspec(qz):
         return pl.BlockSpec(
-            (1, 1, hci, wcx, c8),
+            (bb, 1, hci, wcx, c8),
             lambda b, d, qz=qz: (b, jnp.minimum(d + qz, dzx - 1), 0, 0, 0),
             memory_space=pltpu.VMEM)
 
     wd_spec = pl.BlockSpec((nq, co8, c8), lambda b, d: (0, 0, 0),
                            memory_space=pltpu.VMEM)
-    dx_spec = pl.BlockSpec((1, 1, hci, wpi, c8),
+    dx_spec = pl.BlockSpec((bb, 1, hci, wpi, c8),
                            lambda b, d: (b, d, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     dw_spec = pl.BlockSpec((nq, c8, co8), lambda b, d: (0, 0, 0),
@@ -562,19 +694,15 @@ def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret,
     dx_shape = jax.ShapeDtypeStruct((b, dzi, hci, wpi, c8), xz.dtype)
     dw_shape = jax.ShapeDtypeStruct((nq, c8, co8), jnp.float32)
 
-    esz = jnp.dtype(gpad.dtype).itemsize
-    fused_bytes = (nz * (hpi * wpi * co8 + hci * wcx * c8) * esz  # refs
-                   + hci * wpi * c8 * esz                         # dx out
-                   + 2 * nq * co8 * c8 * esz                      # wd + dw
-                   + hci * wpi * max(c8, co8) * (4 + esz))        # acc+roll
+    fused_bytes = bb * per_b + 2 * nq * co8 * c8 * esz      # + wd + dw
     if with_dx and fused_bytes <= _BWD_FUSED_VMEM_BUDGET:
         kern = functools.partial(
             _bwd_kernel, nz=nz, hco=hci - 1, hci=hci, wpi=wpi, wcx=wce,
             c8=c8, co8=co8, dco=dco, dx_logical=(d, h, w), cin_real=cin,
-            interpret=interpret)
+            bb=bb, interpret=interpret)
         dx, dwq = pl.pallas_call(
             kern,
-            grid=(b, dzi),
+            grid=(b // bb, dzi),
             in_specs=[gspec(qz) for qz in range(nz)]
             + [xspec(qz) for qz in range(nz)] + [wd_spec],
             out_specs=(dx_spec, dw_spec),
@@ -589,8 +717,8 @@ def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret,
         dx = pl.pallas_call(
             functools.partial(_dx_kernel, nz=nz, hci=hci, wpi=wpi, c8=c8,
                               dx_logical=(d, h, w), cin_real=cin,
-                              interpret=interpret),
-            grid=(b, dzi),
+                              bb=bb, interpret=interpret),
+            grid=(b // bb, dzi),
             in_specs=[gspec(qz) for qz in range(nz)] + [wd_spec],
             out_specs=dx_spec,
             out_shape=dx_shape,
@@ -603,9 +731,9 @@ def _s2d_conv_bwd_p(gpad, xz, wd, *, modes, in_logical, cin, interpret,
 
     dwq = pl.pallas_call(
         functools.partial(_dw_kernel, nz=nz, hco=hci - 1, wcx=wce, c8=c8,
-                          co8=co8, interpret=interpret),
-        grid=(b, dco),
-        in_specs=[pl.BlockSpec((1, 1, hpi, wpi, co8), gspec_dw,
+                          co8=co8, bb=bb, interpret=interpret),
+        grid=(b // bb, dco),
+        in_specs=[pl.BlockSpec((bb, 1, hpi, wpi, co8), gspec_dw,
                                memory_space=pltpu.VMEM)]
         + [xspec(qz) for qz in range(nz)],
         out_specs=dw_spec,

@@ -76,6 +76,47 @@ class TestLayout:
         np.testing.assert_array_equal(np.asarray(got),
                                       np.asarray(x[:, ::2, ::2, ::2, :]))
 
+    @pytest.mark.parametrize("impl", ["wide", "wide_small"])
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_pack_impls_equal(self, rng, monkeypatch, impl, dtype):
+        """The merged-lane gemm pack paths are bit-exact vs the
+        transpose path (one-hot selections), values AND gradients."""
+        import stroke_prediction_tpu.ops.pallas.s2d as s2d_mod
+
+        for shape in [(2, 7, 9, 11, 3), (1, 8, 12, 16, 16),
+                      (2, 9, 13, 17, 2)]:
+            x = jnp.asarray(rng.rand(*shape) - 0.5, dtype)
+            ref = s2d_pack(x)
+            monkeypatch.setenv("STROKE_TPU_PACK_IMPL", impl)
+            got = s2d_pack(x)
+            monkeypatch.setenv("STROKE_TPU_PACK_IMPL", "transpose")
+            assert got.cells.shape == ref.cells.shape
+            assert got.logical == ref.logical
+            np.testing.assert_array_equal(np.asarray(got.cells),
+                                          np.asarray(ref.cells))
+
+        def loss_with(impl_name, v):
+            monkeypatch.setenv("STROKE_TPU_PACK_IMPL", impl_name)
+            out = float(jax.grad(lambda u: jnp.sum(
+                s2d_pack(u).cells.astype(jnp.float32) ** 2))(v).sum())
+            return out
+
+        v = jnp.asarray(rng.rand(1, 5, 7, 9, 3) - 0.5, dtype)
+        assert loss_with(impl, v) == loss_with("transpose", v)
+
+    @pytest.mark.parametrize("impl", ["transpose", "wide", "wide_small"])
+    def test_poolpack_matches_pool_then_pack(self, rng, monkeypatch, impl):
+        from stroke_prediction_tpu.ops.pallas.s2d import s2d_poolpack
+
+        x = _rand(rng, 2, 9, 13, 15, 4)
+        s = s2d_pack(x, dtype=jnp.float32)
+        ref = s2d_pack(s2d_pool2(s))            # transpose-path compose
+        monkeypatch.setenv("STROKE_TPU_PACK_IMPL", impl)
+        got = s2d_poolpack(s)
+        assert got.logical == ref.logical
+        np.testing.assert_array_equal(np.asarray(got.cells),
+                                      np.asarray(ref.cells))
+
 
 @pytest.mark.parametrize("shape,act,modes", [
     ((2, 8, 10, 12, 4, 6), "leaky_relu", ("v", "v", "v")),
@@ -134,6 +175,27 @@ def test_s2d_conv_grads(rng, modes):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=0.15, rtol=0.1,
             err_msg=name)
+
+
+def test_s2d_conv_batch_blocked_matches_per_sample(rng, monkeypatch):
+    """STROKE_TPU_BB='auto' (bb samples per grid step) computes the
+    same values and grads as the per-sample grid (the default)."""
+    b, d, h, w, ci, co = 4, 6, 8, 9, 3, 4
+    x = _rand(rng, b, d, h, w, ci)
+    k = _rand(rng, 3, 3, 3, ci, co) * 0.3
+    bias = jnp.asarray(rng.rand(co), jnp.float32) * 0.1
+
+    def loss(x, k, bias):
+        out = s2d_conv(s2d_pack(x), k, bias, act="elu")
+        return jnp.sum(s2d_unpack(out).astype(jnp.float32) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, k, bias)
+    monkeypatch.setenv("STROKE_TPU_BB", "auto")
+    v_bb, g_bb = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, k, bias)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_bb))
+    for a, bb_g, name in zip(g_ref, g_bb, ("dx", "dk", "db")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb_g),
+                                      err_msg=name)
 
 
 def test_s2d_chain_matches_lax(rng):
