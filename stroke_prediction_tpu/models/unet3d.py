@@ -116,7 +116,13 @@ class Unet3D(nn.Module):
 
             r4 = UnetBlock(b4, **kw)(_s2d_up_concat(r3, r2, cd), train)
             r5 = UnetBlock(b5, **kw)(_s2d_up_concat(r4, r1, cd), train)
-            r5 = s2d_unpack(r5)
+            # the 1x1 head stays in-domain (128-lane matmuls + fused
+            # activation); only the n_classes-channel output unpacks
+            h = Conv3d(b_c, (1, 1, 1), compute_dtype=self.compute_dtype)(
+                r5, act="leaky_relu", act_param=0.01)
+            h = Conv3d(n_classes, (1, 1, 1),
+                       compute_dtype=self.compute_dtype)(h)
+            return nn.sigmoid(s2d_unpack(h).astype(jnp.float32))
         else:
             r1 = UnetBlock(b1, **kw)(x, train)
             r2 = UnetBlock(b2, **kw)(max_pool3d(r1), train)
@@ -162,7 +168,12 @@ class LargeUnet3D(nn.Module):
             r5 = UnetBlock(b5, **kw)(_s2d_up_concat(r4, r3, cd), train)
             r6 = UnetBlock(b6, **kw)(_s2d_up_concat(r5, r2, cd), train)
             r7 = UnetBlock(b7, **kw)(_s2d_up_concat(r6, r1, cd), train)
-            r7 = s2d_unpack(r7)
+            # in-domain 1x1 head (see Unet3D)
+            h = Conv3d(b_c, (1, 1, 1), compute_dtype=self.compute_dtype)(
+                r7, act="leaky_relu", act_param=0.01)
+            h = Conv3d(n_classes, (1, 1, 1),
+                       compute_dtype=self.compute_dtype)(h)
+            return nn.sigmoid(s2d_unpack(h).astype(jnp.float32))
         else:
             r1 = UnetBlock(b1, **kw)(x, train)
             r2 = UnetBlock(b2, **kw)(max_pool3d(r1), train)
