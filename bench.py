@@ -186,6 +186,58 @@ def measure_tpu_cae(steps: int = 10) -> float:
     return BATCH_CAE / dt
 
 
+def measure_tpu_infer(steps: int = 30) -> float:
+    """Full-volume batch-1 eval-mode U-Net forward — the tester's
+    fully-convolutional inference semantics (reference
+    test_unet_segmentation.py runs whole volumes, batch 1; our
+    eval/tester.py asserts batch 1).  The north-star metric is
+    volumes/sec/chip train+INFER (BASELINE.json:2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stroke_prediction_tpu.models.unet3d import Unet3D
+
+    model = Unet3D(channels=CHANNELS,
+                   compute_dtype=jnp.dtype(COMPUTE_DTYPE))
+    d, h, w = VOL
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, d, h, w, 2), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, PATCH[2], PATCH[1], PATCH[0], 2)),
+                           train=False)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    out = fwd(variables, x)
+    _ = float(jnp.sum(out))
+    out = fwd(variables, x)
+    _ = float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _i in range(steps):
+        out = fwd(variables, x)
+    _ = float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / steps
+    return 1.0 / dt
+
+
+def measure_torch_cpu_infer_baseline(steps: int = 2) -> float:
+    """Reference-equivalent PyTorch-CPU full-volume batch-1 U-Net
+    forward (no_grad eval), matching measure_tpu_infer."""
+    import torch
+
+    net = _torch_unet()
+    net.eval()
+    d, h, w = VOL
+    x = torch.rand(1, 2, d, h, w)
+    with torch.no_grad():
+        net(x)                    # warmup
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            net(x)
+    dt = (time.perf_counter() - t0) / steps
+    return 1.0 / dt
+
+
 def measure_learner(epochs: int = 6) -> float:
     """End-to-end throughput of the REAL UnetSegmentationLearner epoch
     loop (device-resident dataset, in-graph batch gather, one metrics
@@ -266,9 +318,9 @@ def measure_torch_cpu_cae_baseline(steps: int = 1) -> float:
     return 1.0 / dt              # volumes/sec on CPU
 
 
-def measure_torch_cpu_baseline(steps: int = 1) -> float:
-    """Reference-equivalent PyTorch-CPU U-Net train step (same arch,
-    batch 1 scaled: CPU time is linear in batch)."""
+def _torch_unet():
+    """Reference-equivalent torch U-Net at the config of record (shared
+    by the train-step and inference baselines)."""
     import torch
     import torch.nn as nn
 
@@ -310,7 +362,15 @@ def measure_torch_cpu_baseline(steps: int = 1) -> float:
             return self.head(r5)
 
     torch.manual_seed(0)
-    net = Net()
+    return Net()
+
+
+def measure_torch_cpu_baseline(steps: int = 1) -> float:
+    """Reference-equivalent PyTorch-CPU U-Net train step (same arch,
+    batch 1 scaled: CPU time is linear in batch)."""
+    import torch
+
+    net = _torch_unet()
     opt = torch.optim.Adam(net.parameters(), lr=1e-3, weight_decay=1e-5,
                            betas=(0.99, 0.999))
     bs = 1
@@ -356,6 +416,12 @@ def get_baselines() -> dict:
                               "volume": VOL_CAE,
                               "batch_scaling": "measured bs=1, linear"}
         changed = True
+    if "torch_cpu_infer_volumes_per_sec" not in data:
+        data["torch_cpu_infer_volumes_per_sec"] = \
+            measure_torch_cpu_infer_baseline()
+        data["config_infer"] = {"channels": list(CHANNELS), "volume": VOL,
+                                "batch": 1, "mode": "eval/no_grad"}
+        changed = True
     if changed:
         with open(BASELINE_FILE, "w") as f:
             json.dump(data, f)
@@ -365,6 +431,7 @@ def get_baselines() -> dict:
 def main():
     tpu = measure_tpu()
     cae = measure_tpu_cae()
+    infer = measure_tpu_infer()
     learner = measure_learner()
     base = get_baselines()
     print(json.dumps({
@@ -379,6 +446,10 @@ def main():
         "learner_value": round(learner, 3),
         "learner_vs_baseline": round(
             learner / base["torch_cpu_volumes_per_sec"], 2),
+        # full-volume batch-1 eval-mode inference (the tester semantics)
+        "infer_value": round(infer, 3),
+        "infer_vs_baseline": round(
+            infer / base["torch_cpu_infer_volumes_per_sec"], 2),
     }))
 
 
