@@ -26,7 +26,7 @@ from stroke_prediction_tpu.ops import (
     center_crop, max_pool3d, upsample2x_trilinear)
 from stroke_prediction_tpu.ops.pallas.s2d import (
     s2d_center_crop, s2d_center_crop_cells, s2d_concat_channels, s2d_pack,
-    s2d_pool2, s2d_poolpack, s2d_unpack, upsample2x_to_s2d)
+    s2d_poolpack, s2d_unpack, upsample2x_to_s2d)
 
 
 def _s2d_up_concat(r_low, r_skip, compute_dtype):

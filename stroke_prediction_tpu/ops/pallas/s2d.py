@@ -121,6 +121,9 @@ def pack_impl() -> str:
     v = os.environ.get("STROKE_TPU_PACK_IMPL", "auto")
     if v == "auto":
         return "transpose"
+    if v not in ("transpose", "wide", "wide_small"):
+        raise ValueError(f"STROKE_TPU_PACK_IMPL={v!r}: expected "
+                         "'auto', 'transpose', 'wide' or 'wide_small'")
     return v
 
 
@@ -621,12 +624,17 @@ def _batch_block(b: int, per_b_bytes: int,
     per-step overhead that dominates at (1, 1, H, W, C) blocks.
 
     STROKE_TPU_BB='auto' computes the largest in-budget divisor; an
-    integer forces that block size.  Unset currently means 1 (the
-    per-sample grid): the blocked kernels are correctness-verified but
-    their TPU A/B is pending, so the proven grid stays the default."""
+    integer forces a block size (rounded DOWN to a divisor of the batch
+    — the grid is b // bb steps, so a non-divisor would silently drop
+    the trailing samples).  Unset currently means 1 (the per-sample
+    grid): the blocked kernels are correctness-verified but their TPU
+    A/B is pending, so the proven grid stays the default."""
     force = os.environ.get("STROKE_TPU_BB", "1")
     if force != "auto":
-        return max(1, min(int(force), b))
+        bb = max(1, min(int(force), b))
+        while b % bb:
+            bb -= 1
+        return bb
     for bb in range(b, 0, -1):
         if b % bb == 0 and bb * per_b_bytes <= budget:
             return bb

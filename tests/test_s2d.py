@@ -179,7 +179,14 @@ def test_s2d_conv_grads(rng, modes):
 
 def test_s2d_conv_batch_blocked_matches_per_sample(rng, monkeypatch):
     """STROKE_TPU_BB='auto' (bb samples per grid step) computes the
-    same values and grads as the per-sample grid (the default)."""
+    same values and grads as the per-sample grid (the default).
+
+    _batch_block reads the env var at TRACE time, and the pallas
+    wrappers are jax.jit functions whose cache keys do not include it —
+    the jit caches must be cleared around the env flip or the second
+    run silently reuses the bb=1 executables (a vacuous comparison)."""
+    import stroke_prediction_tpu.ops.pallas.s2d as s2d_mod
+
     b, d, h, w, ci, co = 4, 6, 8, 9, 3, 4
     x = _rand(rng, b, d, h, w, ci)
     k = _rand(rng, 3, 3, 3, ci, co) * 0.3
@@ -189,13 +196,39 @@ def test_s2d_conv_batch_blocked_matches_per_sample(rng, monkeypatch):
         out = s2d_conv(s2d_pack(x), k, bias, act="elu")
         return jnp.sum(s2d_unpack(out).astype(jnp.float32) ** 2)
 
+    def clear():
+        s2d_mod._s2d_conv_p.clear_cache()
+        s2d_mod._s2d_conv_bwd_p.clear_cache()
+
+    clear()
     v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, k, bias)
     monkeypatch.setenv("STROKE_TPU_BB", "auto")
+    clear()
+    # prove the blocked path is actually selected at these shapes
+    spy = []
+    orig = s2d_mod._batch_block
+    monkeypatch.setattr(s2d_mod, "_batch_block",
+                        lambda *a, **kw: spy.append(orig(*a, **kw))
+                        or spy[-1])
     v_bb, g_bb = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, k, bias)
-    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_bb))
+    monkeypatch.setattr(s2d_mod, "_batch_block", orig)
+    assert spy and max(spy) > 1, spy
+    clear()
+    # NOT bit-identical: the bb-unrolled kernel bodies compile to a
+    # differently-fused graph, so f32 sums reassociate (last-digit
+    # differences); tight allclose is the right contract
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_bb),
+                               rtol=1e-6)
     for a, bb_g, name in zip(g_ref, g_bb, ("dx", "dk", "db")):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb_g),
-                                      err_msg=name)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb_g),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)
+
+    # a forced non-divisor block rounds DOWN to a divisor (a truncated
+    # grid would silently skip the trailing samples)
+    monkeypatch.setenv("STROKE_TPU_BB", "3")
+    assert s2d_mod._batch_block(4, 1) == 2
+    monkeypatch.setenv("STROKE_TPU_BB", "4")
+    assert s2d_mod._batch_block(6, 1) == 3
 
 
 def test_s2d_chain_matches_lax(rng):

@@ -135,6 +135,10 @@ def pack_wide(x, dtype=None, small_o=False):
     Md = _parity_split_eye(dc, 2 * dc, dt)
     u = jnp.einsum("qZz,bzHpm->bZHqpm", Md, z, precision=prec)
     # lanes now (pd, ph, wc, pw, c) split as (q, p, m) dims
+    # NB: the shipped copy of these interleaves lives in
+    # s2d._pack_interleave_wide (STROKE_TPU_PACK_IMPL); this probe keeps
+    # a standalone copy so variants can be hacked without touching the
+    # library.
     if small_o:
         ur = u.reshape(b, dc, hc, 4, wc, 2 * c)
         O = _lane_perm((4, 2 * c), (0, 1), dt)       # identity merge
@@ -145,10 +149,6 @@ def pack_wide(x, dtype=None, small_o=False):
         P = _lane_perm((2, 2, wc, 2 * c), (2, 0, 1, 3), dt)
         out = jnp.einsum("bzhn,nt->bzht", um, P,
                          precision=prec).reshape(b, dc, hc, wc, 8 * c)
-        lanes = _round_up(8 * c, 128)
-        if lanes != 8 * c:
-            out = jnp.pad(out, ((0, 0),) * 4 + ((0, lanes - 8 * c),))
-        return S2d(out, (d, h, w, c))
     lanes = _round_up(8 * c, 128)
     if lanes != 8 * c:
         out = jnp.pad(out, ((0, 0),) * 4 + ((0, lanes - 8 * c),))
