@@ -99,7 +99,12 @@ class EncoderStack(nn.Module):
             x = s2d_pack(x.astype(self.compute_dtype))
 
         g = groups
-        x = BnConvActBlock(origin, padding=zpad, **kw)(x, train, g)
+        # The entry conv's input is DATA in every configuration (gtruth
+        # masks, phase-2 U-Net-output volumes, CTP concats) — skip the dx
+        # half of its backward (the fused Pallas pass is opaque to XLA's
+        # DCE, so the layer must declare it; same as the U-Net entry).
+        x = BnConvActBlock(origin, padding=zpad, input_grad=False,
+                           **kw)(x, train, g)
         x = BnConvActBlock(origin, padding=zpad, **kw)(x, train, g)
         x = BnConvActBlock(d2, strides=(2, 2, 2), padding=(1, 1, 1), **kw)(x, train, g)
         if s2d:
