@@ -54,12 +54,6 @@ def structure_batching() -> bool:
 def cae_latent_spatial(spatial: Tuple[int, int, int]) -> Tuple[int, int, int]:
     """Latent (D, H, W) for an input (D, H, W): the encoder's valid/strided
     shape algebra (e.g. 28x128x128 -> 1x10x10)."""
-
-    def chain(d, z_padded):
-        # two pad-z 3x3x3 convs
-        d = d if z_padded else d - 4
-        return d
-
     dz, hy, wx = spatial
     for _ in range(2):   # two scales with z-padded 3^3 convs + stride-2 pad-1
         dz = dz                            # z padded
@@ -101,8 +95,11 @@ class EncoderStack(nn.Module):
         g = groups
         # The entry conv's input is DATA in every configuration (gtruth
         # masks, phase-2 U-Net-output volumes, CTP concats) — skip the dx
-        # half of its backward (the fused Pallas pass is opaque to XLA's
-        # DCE, so the layer must declare it; same as the U-Net entry).
+        # half of its backward.  Legal even though this conv is z-padded:
+        # the BN affine is folded into (kernel', per-plane bias table)
+        # via fold_bn_zsame, so the entry BatchNorm's scale/bias grads
+        # flow through dW/dB, not dx (round-3 advisor finding; the
+        # reference trains BatchNorm3d(n_input), Cae3D.py:44).
         x = BnConvActBlock(origin, padding=zpad, input_grad=False,
                            **kw)(x, train, g)
         x = BnConvActBlock(origin, padding=zpad, **kw)(x, train, g)

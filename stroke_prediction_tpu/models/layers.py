@@ -17,8 +17,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from stroke_prediction_tpu.ops.pallas.s2d import (
-    S2d, ct_stride2_to_s2d, fold_bn, s2d_affine, s2d_batch_stats,
-    s2d_cell_pad, s2d_conv, s2d_conv1x1, s2d_conv_stride2)
+    S2d, ct_stride2_to_s2d, fold_bn, fold_bn_zsame, s2d_affine,
+    s2d_batch_stats, s2d_cell_pad, s2d_conv, s2d_conv1x1, s2d_conv_stride2)
 
 Dtype = Any
 
@@ -121,15 +121,22 @@ class Conv3d(nn.Module):
         assert pads[0] in (0, 1) and pads[1] % 2 == 0 and pads[2] % 2 == 0, \
             self.padding
         if scale is not None:
-            if pads == (0, 0, 0) and not grouped:
-                # BN folding is exact only for VALID convs: a padded conv
-                # pads the BN OUTPUT with zeros, so the folded bias would
-                # wrongly fire at boundary taps — apply the affine masked
-                # on the input instead (also for grouped affines, which
-                # cannot fold into the group-shared kernel)
+            if grouped or pads[1] or pads[2]:
+                # grouped affines cannot fold into the group-shared
+                # kernel, and H/W cell-pads would need a full 3-D bias
+                # table — apply the affine masked on the input instead
+                s = s2d_affine(s, scale, shift)
+            elif pads == (0, 0, 0):
                 kernel, bias = fold_bn(kernel, bias, scale, shift)
             else:
-                s = s2d_affine(s, scale, shift)
+                # z-SAME conv: plain folding is inexact (the conv pads
+                # the BN OUTPUT with zeros, so the folded bias would
+                # wrongly fire at boundary taps) — fold with a per-plane
+                # bias table that zeroes the pad-tap shift at the two
+                # boundary planes.  Exact, kills the separate affine
+                # pass, and keeps BN grads alive under input_grad=False.
+                kernel, bias = fold_bn_zsame(kernel, bias, scale, shift,
+                                             s.logical[0])
         if pads[1] or pads[2]:
             s = s2d_cell_pad(s, (0, pads[1], pads[2]))
         modes = ("s" if pads[0] else "v", "v", "v")

@@ -420,7 +420,9 @@ def _conv_kernel(*refs, nz: int, hco: int, wcp: int, c8: int, act: str,
                                    preferred_element_type=jnp.float32)
                     acc = part if acc is None else acc + part
 
-        y = _act(acc + b_ref[:], act, alpha)
+        # b_ref is (1, co8) broadcast, or an (8, co8) block of identical
+        # rows for the per-output-plane bias table — row 0 either way
+        y = _act(acc + b_ref[0:1], act, alpha)
         y = jnp.where(ok, y.reshape(hco, wcp, co8), 0.0)
         o_ref[s] = y.reshape(1, hco, wcp, co8).astype(out_dtype)
 
@@ -442,6 +444,7 @@ def _s2d_conv_p(cells, wmats, brow, *, modes, act, alpha, in_logical,
     nz = 2 if modes[0] == "v" else 3
     nq, _, co8 = wmats.shape
     assert nq == nz * 4, (nq, nz)
+    assert brow.shape[0] in (1, 8 * dco), (brow.shape, dco)
 
     esz = jnp.dtype(cells.dtype).itemsize
     per_b = (nz * hci * wcp * c8 + hco * wcp * co8) * esz \
@@ -465,8 +468,11 @@ def _s2d_conv_p(cells, wmats, brow, *, modes, act, alpha, in_logical,
         in_specs=[xspec(qz) for qz in range(nz)] + [
             pl.BlockSpec((nq, c8, co8), lambda b, d: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co8), lambda b, d: (0, 0),
-                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((8, co8), lambda b, d: (d, 0),
+                          memory_space=pltpu.VMEM)
+             if brow.shape[0] > 1 else
+             pl.BlockSpec((1, co8), lambda b, d: (0, 0),
+                          memory_space=pltpu.VMEM)),
         ],
         out_specs=pl.BlockSpec((bb, 1, hco, wcp, co8),
                                lambda b, d: (b, d, 0, 0, 0),
@@ -762,12 +768,32 @@ def _interpret_default() -> bool:
 
 def _prep(cells, kernel, bias, modes):
     """Build the superpatch operands, row/column-padded to the lane
-    layout (real parity-major channels first, zero lanes after)."""
+    layout (real parity-major channels first, zero lanes after).
+
+    ``bias`` is (C_out,) — one row, broadcast to every grid step — or a
+    per-output-plane (D_out, C_out) table (the z-SAME BN fold,
+    :func:`fold_bn_zsame`), laid out one row per DEPTH CELL with the
+    plane parity encoded in the lane index (lane = ((pz*2+py)*2+px)*co
+    + c, matching the kernel's parity-major channel order)."""
     c8 = cells.shape[-1]
     ci, co = kernel.shape[3], kernel.shape[4]
     co8 = _round_up(8 * co, 128)
     wmats = superpatch_weights(kernel.astype(cells.dtype), modes)
     wmats = jnp.pad(wmats, ((0, 0), (0, c8 - 8 * ci), (0, co8 - 8 * co)))
+    if bias.ndim == 2:
+        do = bias.shape[0]
+        dco = _cells(do)
+        bz = jnp.pad(bias.astype(jnp.float32),
+                     ((0, 2 * dco - do), (0, 0)))
+        bz = bz.reshape(dco, 2, co)                     # (dcell, pz, co)
+        brow = jnp.concatenate([bz[:, r >> 2, :] for r in range(8)],
+                               axis=-1)                 # (dco, 8*co)
+        brow = jnp.pad(brow, ((0, 0), (0, co8 - 8 * co)))
+        # 8x sublane repeat: Mosaic requires the trailing block dims be
+        # (8k, 128k) or equal to the array dims, so a (1, co8) per-cell
+        # row block is not lowerable — each grid step reads an (8, co8)
+        # block of identical rows instead (few KB total)
+        return wmats, jnp.repeat(brow, 8, axis=0), co8
     brow = jnp.pad(jnp.tile(bias.astype(jnp.float32), 8), (0, co8 - 8 * co))
     return wmats, brow.reshape(1, co8), co8
 
@@ -793,7 +819,7 @@ def _s2d_conv_fwd(cells, kernel, bias, in_logical, modes, act, alpha,
                   input_grad=True):
     y = _s2d_conv(cells, kernel, bias, in_logical, modes, act, alpha,
                   input_grad)
-    return y, (cells, kernel, y)
+    return y, (cells, kernel, bias, y)
 
 
 def _out_mask(shape_cells, out_logical, cout_real, dtype):
@@ -813,7 +839,7 @@ def _out_mask(shape_cells, out_logical, cout_real, dtype):
 
 
 def _s2d_conv_bwd(in_logical, modes, act, alpha, input_grad, res, g):
-    cells, kernel, y = res
+    cells, kernel, bias, y = res
     d, h, w, c = in_logical
     do = d - 2 if modes[0] == "v" else d
     ho, wo = h - 2, w - 2
@@ -836,9 +862,17 @@ def _s2d_conv_bwd(in_logical, modes, act, alpha, input_grad, res, g):
         dact = one
     gpb = jnp.where(ok, g.astype(cdt) * dact, 0)
 
-    # d(bias): sum over all valid voxels, folding the 8 output parities
+    # d(bias): sum over all valid voxels, folding the 8 output parities;
+    # a per-plane (D_out, C_out) bias keeps its depth axis (pz parity
+    # interleaved back into plane order)
     gp8 = gpb[..., :8 * co].reshape(gpb.shape[:-1] + (8, co))
-    db = jnp.sum(gp8, axis=(0, 1, 2, 3, 4), dtype=jnp.float32)
+    if bias.ndim == 2:
+        dco = gpb.shape[1]
+        g6 = gp8.reshape(gp8.shape[:4] + (2, 4, co))      # (..., pz, pypx, co)
+        db = jnp.sum(g6, axis=(0, 2, 3, 5), dtype=jnp.float32)  # (dco, 2, co)
+        db = db.reshape(2 * dco, co)[:bias.shape[0]]
+    else:
+        db = jnp.sum(gp8, axis=(0, 1, 2, 3, 4), dtype=jnp.float32)
 
     # dx + dW in ONE fused pallas pass: dx is the dual conv (flipped,
     # ci<->co transposed weights) over the cell-padded cotangent; dW
@@ -893,7 +927,8 @@ def s2d_conv(s: S2d, kernel: jnp.ndarray, bias: jnp.ndarray,
              input_grad: bool = True) -> S2d:
     """Fused (folded-BN) conv + bias + activation on an s2d tensor.
 
-    kernel: (3, 3, 3, C_in, C_out) float32; bias: (C_out,).
+    kernel: (3, 3, 3, C_in, C_out) float32; bias: (C_out,), or a
+    per-output-plane (D_out, C_out) table (:func:`fold_bn_zsame`).
     modes: per-axis 'v' (valid) or 's' (pad-1 SAME); even pads are applied
     by the caller via :func:`s2d_cell_pad`.
     ``input_grad=False`` marks an ENTRY conv whose input is data: the
@@ -1228,3 +1263,23 @@ def fold_bn(kernel: jnp.ndarray, bias: jnp.ndarray, scale: jnp.ndarray,
     k2 = kernel * scale[None, None, None, :, None]
     b2 = bias + jnp.einsum("zyxio,i->o", kernel, shift)
     return k2, b2
+
+
+def fold_bn_zsame(kernel: jnp.ndarray, bias: jnp.ndarray,
+                  scale: jnp.ndarray, shift: jnp.ndarray,
+                  d_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold a per-input-channel affine into a z-SAME (pad 1), H/W-VALID
+    3^3 conv: ``conv(pad_z(x*s + t)) = conv_{k*s}(pad_z(x)) + B(z)``
+    where the bias table ``B`` equals the full-tap fold everywhere except
+    the first/last output plane (the padded z tap reads a ZERO there, not
+    ``t`` — zero-padding happens AFTER the affine in the reference,
+    Cae3D.py:44-56).  Returns (kernel', (d_out, C_out) bias table); the
+    conv kernel consumes the table directly (its grid steps are depth
+    cells), so BN scale/shift gradients flow through kernel'/B even with
+    ``input_grad=False`` — the legal form of the entry-conv dx skip."""
+    k2 = kernel * scale[None, None, None, :, None]
+    per_tap = jnp.einsum("zyxio,i->zo", kernel, shift)     # (3, C_out)
+    bz = jnp.tile(bias + per_tap.sum(0), (d_out, 1))
+    bz = bz.at[0].add(-per_tap[0])            # z_in = -1 is pad, not t
+    bz = bz.at[d_out - 1].add(-per_tap[2])    # z_in = D is pad, not t
+    return k2, bz

@@ -469,3 +469,54 @@ def test_s2d_conv_input_grad_false_matches_param_grads(rng):
                                rtol=1e-5, atol=1e-5)
     assert float(jnp.abs(gx_f).max()) == 0.0
     assert float(jnp.abs(gx_t).max()) > 0.0
+
+
+def test_zpadded_bnconvact_block_grad_parity_all_params(rng):
+    """A z-padded BnConvActBlock applies the BN affine to the conv INPUT
+    (BN folding is exact only for VALID convs), so the affine's only
+    cotangent flows through the conv's dx.  Gradient parity of ALL params
+    — BN scale/bias included — between the Pallas-s2d path and the logical
+    path, for both input_grad settings, is exactly the configuration where
+    a dx-skip silently freezes the entry BatchNorm (round-3 advisor
+    finding; reference trains BatchNorm3d(n_input), Cae3D.py:44)."""
+    from stroke_prediction_tpu.models.layers import BnConvActBlock
+    from stroke_prediction_tpu.ops.pallas.s2d import s2d_pack, s2d_unpack
+
+    x = jnp.asarray(rng.rand(2, 6, 12, 12, 2) * 2 - 1, jnp.float32)
+
+    def build(input_grad):
+        return BnConvActBlock(4, padding=(1, 0, 0), act="elu",
+                              act_param=1.0, input_grad=input_grad)
+
+    variables = build(True).init(jax.random.PRNGKey(0), x, True)
+    # non-trivial BN affine so dscale/dshift are informative
+    variables = jax.tree_util.tree_map(
+        lambda v: v + 0.1 * jnp.arange(v.size, dtype=v.dtype).reshape(v.shape)
+        / max(v.size, 1), variables)
+
+    def loss_logical(params):
+        out, _ = build(True).apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, True, mutable=["batch_stats"])
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_s2d(params, input_grad):
+        out, _ = build(input_grad).apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            s2d_pack(x), True, mutable=["batch_stats"])
+        return jnp.sum(s2d_unpack(out).astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(loss_logical)(variables["params"])
+    for ig in (True, False):
+        g = jax.grad(lambda p: loss_s2d(p, ig))(variables["params"])
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat = dict((jax.tree_util.keystr(k), v)
+                    for k, v in jax.tree_util.tree_leaves_with_path(g))
+        for k, ref_leaf in flat_ref:
+            name = jax.tree_util.keystr(k)
+            np.testing.assert_allclose(
+                np.asarray(flat[name]), np.asarray(ref_leaf),
+                rtol=2e-4, atol=2e-4,
+                err_msg=f"input_grad={ig} param {name}")
+            # the BN affine grads must be alive, not silently zero
+            assert float(jnp.abs(ref_leaf).max()) > 0.0, name
