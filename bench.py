@@ -11,9 +11,14 @@ PyTorch-CPU reference equivalent, for BOTH headline configs:
     Dice+hinge loss (BASELINE.json config #2; the flagship model),
     reported as extra keys on the same line.
 
-Prints ONE JSON line:
+Prints a JSON line after EVERY completed leg (each a superset of the
+last — a budget-killed run still leaves the finished legs parseable);
+the final line carries all four legs:
   {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N,
-   "cae_value": N, "cae_vs_baseline": N}
+   "cae_value": N, "cae_vs_baseline": N, "infer_value": N, ...,
+   "learner_value": N, ...}
+Wall-clock budget: BENCH_BUDGET_S (default 1200 s) — legs that would
+start with <30 s left are skipped, never half-run.
 
 The torch-CPU baselines are measured once and cached in
 BASELINE_MEASURED.json (delete the file to re-measure).
@@ -429,28 +434,44 @@ def get_baselines() -> dict:
 
 
 def main():
-    tpu = measure_tpu()
-    cae = measure_tpu_cae()
-    infer = measure_tpu_infer()
-    learner = measure_learner()
+    """Driver-proof schedule: a JSON line with every key gathered so far
+    is printed IMMEDIATELY after each leg completes (a driver that kills
+    the process mid-run still harvests the finished legs from the last
+    parseable line), a wall-clock budget (BENCH_BUDGET_S, default 20 min)
+    skips remaining legs rather than overrunning, and the end-to-end
+    Learner leg is bounded (4 epochs; cold synthetic cache ~2 s/case).
+    Leg order: cheapest / headline first."""
+    t_start = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    out = {"metric": "unet3d_train_volumes_per_sec_per_chip",
+           "value": None, "unit": "volumes/sec/chip", "vs_baseline": None}
+
     base = get_baselines()
-    print(json.dumps({
-        "metric": "unet3d_train_volumes_per_sec_per_chip",
-        "value": round(tpu, 3),
-        "unit": "volumes/sec/chip",
-        "vs_baseline": round(tpu / base["torch_cpu_volumes_per_sec"], 2),
-        "cae_value": round(cae, 3),
-        "cae_vs_baseline": round(
-            cae / base["torch_cpu_cae_volumes_per_sec"], 2),
-        # end-to-end Learner epoch-loop throughput (not a step microbench)
-        "learner_value": round(learner, 3),
-        "learner_vs_baseline": round(
-            learner / base["torch_cpu_volumes_per_sec"], 2),
-        # full-volume batch-1 eval-mode inference (the tester semantics)
-        "infer_value": round(infer, 3),
-        "infer_vs_baseline": round(
-            infer / base["torch_cpu_infer_volumes_per_sec"], 2),
-    }))
+
+    def leg(fn, key, base_key):
+        left = budget - (time.monotonic() - t_start)
+        if left <= 30:
+            print(json.dumps(dict(out, skipped=key, budget_left_s=round(
+                left, 1))), flush=True)
+            return
+        try:
+            v = fn()
+        except Exception as e:                      # noqa: BLE001
+            print(json.dumps(dict(out, error=f"{key}: {e!r}")), flush=True)
+            return
+        out[key] = round(v, 3)
+        out[key.replace("value", "vs_baseline")] = round(v / base[base_key], 2)
+        print(json.dumps(out), flush=True)
+
+    # primary metric: U-Net train step at the config of record
+    leg(measure_tpu, "value", "torch_cpu_volumes_per_sec")
+    # flagship model: CAE reconstruction train step
+    leg(measure_tpu_cae, "cae_value", "torch_cpu_cae_volumes_per_sec")
+    # full-volume batch-1 eval-mode inference (the tester semantics)
+    leg(measure_tpu_infer, "infer_value", "torch_cpu_infer_volumes_per_sec")
+    # end-to-end Learner epoch-loop throughput (not a step microbench)
+    leg(lambda: measure_learner(epochs=4), "learner_value",
+        "torch_cpu_volumes_per_sec")
 
 
 if __name__ == "__main__":

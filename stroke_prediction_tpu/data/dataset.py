@@ -122,8 +122,11 @@ class SyntheticCaseProvider:
 
     def _blob(self, rng, center, radii, wobble=0.25):
         x, y, z = self._shape
-        gx, gy, gz = np.meshgrid(np.arange(x), np.arange(y), np.arange(z),
-                                 indexing="ij")
+        # open grids broadcast instead of full meshgrids (same f64 math,
+        # bit-identical masks, ~10x less memory traffic per case)
+        gx = np.arange(x, dtype=np.float64)[:, None, None]
+        gy = np.arange(y, dtype=np.float64)[None, :, None]
+        gz = np.arange(z, dtype=np.float64)[None, None, :]
         # low-frequency radial wobble makes the blob non-ellipsoidal
         ph = rng.uniform(0, 2 * np.pi, 3)
         fx = 1 + wobble * np.sin(2 * np.pi * gx / x * 2 + ph[0])
@@ -217,16 +220,25 @@ class SyntheticCaseProvider:
 def _resample_inplane_host(vol_xyz: np.ndarray, factor: float,
                            order: int) -> np.ndarray:
     """Host-side in-plane zoom of an (X, Y, Z) volume using the same
-    separable linear/nearest resize as the device op (ops/resize.py); used
-    once per case at cache-build time (reference re-runs scipy zoom on
-    every __getitem__, common/data.py:354-381)."""
-    from stroke_prediction_tpu.ops.resize import zoom_inplane
-    import jax
-    # (X, Y, Z) -> treat X,Y as the plane: move to (Z, X, Y, 1)
-    v = np.transpose(vol_xyz, (2, 0, 1))[..., None]
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        out = np.asarray(zoom_inplane(v, factor, order=order))
-    return np.transpose(out[..., 0], (1, 2, 0))
+    separable resize matrices as the device op (ops/resize.py); used once
+    per case at cache-build time (reference re-runs scipy zoom on every
+    __getitem__, common/data.py:354-381).  Pure numpy — dispatching the
+    device op through JAX-CPU cost 5-14 s/case on a 1-core host and blew
+    the driver bench budget when the disk cache was cold."""
+    from stroke_prediction_tpu.ops.resize import (_linear_matrix,
+                                                  _nearest_matrix)
+    x, y, z = vol_xyz.shape
+    ox, oy = int(round(x * factor)), int(round(y * factor))
+    if order == 0:
+        mx, my = _nearest_matrix(x, ox), _nearest_matrix(y, oy)
+    else:
+        mx = _linear_matrix(x, ox, True)
+        my = _linear_matrix(y, oy, True)
+    v = vol_xyz.astype(np.float32, copy=False)
+    # (X,Y,Z) -> (ox,Y,Z) -> (ox,oy,Z), both as f32 matmuls on the lead axis
+    v = np.tensordot(mx, v, axes=([1], [0]))
+    v = np.tensordot(my, v, axes=([1], [1])).transpose(1, 0, 2)
+    return np.ascontiguousarray(v)
 
 
 class StrokeDataset3D:
