@@ -454,7 +454,11 @@ class CaePredictionLearner(CaeReconstructionLearner):
 
     def save_model(self, suffix: str = ""):
         """Dual checkpointing: frozen CAE under the main name, the new
-        encoder under '_enc' (reference: CaePredictionLearner.py:27-37)."""
+        encoder under '_enc' (reference: CaePredictionLearner.py:27-37).
+        Lead-only, like the base (learner.py): in a multi-host run only
+        process 0 writes, or concurrent writers race on a shared FS."""
+        if not self._is_lead():
+            return
         from stroke_prediction_tpu.train import checkpoint as ckpt
         ckpt.save_checkpoint(
             self.path("save", "model", suffix),

@@ -190,8 +190,36 @@ class Learner:
         def eval_rows(state, data, rows, key, factor):
             return eval_fn(state, gather(data, rows), key, factor)
 
+        # Scanned multi-step variants: a whole epoch group (rows is
+        # (n_steps, batch)) runs as ONE dispatch — on the tunneled TPU
+        # each jitted call is an RPC round trip, and the per-step host
+        # key-splits + rows staging were the measured Learner-vs-step
+        # gap (round-3 verdict item 4).  The in-scan split reproduces
+        # the host loop's key sequence exactly (self._key, sub =
+        # split(self._key) per step), so curves are bit-identical.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_scan(state, data, rows, key, factor):
+            def body(carry, r):
+                st, k = carry
+                k, sub = jax.random.split(k)
+                st, m = train_fn(st, gather(data, r), sub, factor)
+                return (st, k), m
+            (state, key), metrics = jax.lax.scan(body, (state, key), rows)
+            return state, key, metrics
+
+        @jax.jit
+        def eval_scan(state, data, rows, key, factor):
+            def body(k, r):
+                k, sub = jax.random.split(k)
+                m = eval_fn(state, gather(data, r), sub, factor)
+                return k, m
+            key, metrics = jax.lax.scan(body, key, rows)
+            return key, metrics
+
         self._train_step_rows = train_rows
         self._eval_step_rows = eval_rows
+        self._train_scan_rows = train_scan
+        self._eval_scan_rows = eval_scan
 
     def _device_data(self, loader):
         """HBM-resident (N, ...) case arrays for a loader's subset, built
@@ -377,6 +405,7 @@ class Learner:
         phase = "train_step" if training else "eval_step"
         use_cache = self._device_cache and jax.process_count() == 1
         results = []          # per-step metric trees, still on device
+        stacked = []          # per-entry step count (scanned groups)
         n_vol = 0
         if training:
             # epoch-level timing, anchored on the end-of-epoch metrics
@@ -387,21 +416,31 @@ class Learner:
         if use_cache:
             # device-resident path: batches are gathered in-graph from
             # the HBM-cached cases by permuted row index — no host
-            # stacking, no host->device transfer, no per-step host sync
+            # stacking, no host->device transfer, no per-step host sync.
+            # Consecutive equal-sized chunks run as ONE scanned dispatch
+            # (typically the whole epoch + at most one ragged tail).
             data, rowmap = self._device_data(loader)
-            for chunk in loader.epoch_chunks():
-                rows = jnp.asarray([rowmap[i] for i in chunk], jnp.int32)
+            chunks = loader.epoch_chunks()
+            i = 0
+            while i < len(chunks):
+                j, size = i, len(chunks[i])
+                while j < len(chunks) and len(chunks[j]) == size:
+                    j += 1
+                rows = jnp.asarray(
+                    [[rowmap[x] for x in c] for c in chunks[i:j]],
+                    jnp.int32)
                 with annotate(phase):
                     if training:
-                        self._state, metrics = self._train_step_rows(
-                            self._state, data, rows, self._next_key(),
-                            factor)
+                        self._state, self._key, metrics = \
+                            self._train_scan_rows(self._state, data, rows,
+                                                  self._key, factor)
                     else:
-                        metrics = self._eval_step_rows(
-                            self._state, data, rows, self._next_key(),
-                            factor)
+                        self._key, metrics = self._eval_scan_rows(
+                            self._state, data, rows, self._key, factor)
                 results.append(metrics)
-                n_vol += len(chunk)
+                stacked.append(j - i)
+                n_vol += size * (j - i)
+                i = j
         else:
             # host path (multi-host / NIfTI ingest): double-buffered
             # host->HBM staging — the next batch is stacked and
@@ -425,8 +464,16 @@ class Learner:
                 # global batch the chips actually processed
                 n_vol += n * jax.process_count()
         # ONE bulk device->host fetch per epoch (the reference syncs every
-        # batch for its numpy metrics, metrics.py:49-62)
-        host_list = jax.device_get(results)
+        # batch for its numpy metrics, metrics.py:49-62); scanned entries
+        # come back stacked (n_steps,) and are expanded to per-step dicts
+        fetched = jax.device_get(results)
+        if stacked:
+            host_list = []
+            for n, tree in zip(stacked, fetched):
+                host_list.extend({k: v[s] for k, v in tree.items()}
+                                 for s in range(n))
+        else:
+            host_list = fetched
         if training:
             self._timer.stop(n_vol)
             if self._log_throughput:

@@ -67,4 +67,32 @@ ref_grad = 2.0 * np.einsum("bdhwo,bdhwc->co", y, full) / y.size
 
 np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
 np.testing.assert_allclose(np.asarray(grad), ref_grad, rtol=1e-4)
+
+# ---- single-writer artifact contract: save_model (incl. the dual-
+# checkpoint CaePredictionLearner override) must be a no-op on every
+# process but 0 (learner.py _is_lead; round-3 verdict Weak #5)
+import glob  # noqa: E402
+import types  # noqa: E402
+
+from stroke_prediction_tpu.train.cae_learners import (  # noqa: E402
+    CaePredictionLearner)
+
+base = f"/tmp/dist_ckpt_test_{coordinator.rsplit(':', 1)[1]}_p{pid}/m"
+os.makedirs(os.path.dirname(base), exist_ok=True)
+lrn = CaePredictionLearner.__new__(CaePredictionLearner)
+lrn._path_outputs_base = base
+lrn._path_previous_base = None
+tiny = {"w": jnp.ones((2, 2))}
+lrn._cae_variables = {"params": tiny, "batch_stats": {}}
+lrn._cae_model = types.SimpleNamespace(
+    enc=types.SimpleNamespace(channels=(1, 16), n_ch_global=5))
+lrn._enc_model = types.SimpleNamespace(channels=(1, 16), n_ch_global=5)
+lrn._state = types.SimpleNamespace(params=tiny, batch_stats={})
+lrn.save_model()
+written = glob.glob(os.path.dirname(base) + "/*")
+if pid == 0:
+    assert len(written) == 2, written     # main + '_enc' checkpoints
+else:
+    assert written == [], f"non-lead process wrote artifacts: {written}"
+
 print(f"DISTRIBUTED_WORKER_OK pid={pid} loss={float(loss):.6f}", flush=True)
