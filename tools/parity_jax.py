@@ -53,6 +53,9 @@ def main():
     p.add_argument("--xyoriginal", type=int, default=256)
     p.add_argument("--zsize", type=int, default=28)
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--lrsteps", type=int, nargs="*", default=None,
+                   help="MultiStepLR epoch milestones (gamma 0.1), the "
+                        "reference's --lrsteps (util.py:54)")
     p.add_argument("--out", required=True)
     args = p.parse_args()
 
@@ -60,8 +63,9 @@ def main():
 
     from stroke_prediction_tpu.data.loader import (
         get_stroke_shape_training_data)
-    from stroke_prediction_tpu.train.optim import make_optimizer
+    from stroke_prediction_tpu.train.optim import make_optimizer, multistep_lr
 
+    sched = (multistep_lr(1e-3, args.lrsteps) if args.lrsteps else None)
     batch = args.batchsize or (6 if args.config == "unet" else 4)
     ds = build_dataset(args.config, args.seed, args.xyoriginal, args.zsize)
     dl_train, dl_valid = get_stroke_shape_training_data(
@@ -82,7 +86,7 @@ def main():
         model = Unet3D(channels=tuple(args.channels), compute_dtype=cd)
         tx = make_optimizer(1e-3, betas=(0.99, 0.999), weight_decay=1e-5)
         learner = UnetSegmentationLearner(
-            dl_train, dl_valid, model, tx, None, n_epochs=args.epochs,
+            dl_train, dl_valid, model, tx, sched, n_epochs=args.epochs,
             patch_whd=(104, 104, 68), pad_xyz=(20, 20, 20),
             path_outputs_base=base, seed=args.seed,
             metrics_with_distances=False, log_throughput=True)
@@ -96,7 +100,7 @@ def main():
                     dec=Dec3D(channels=ch, compute_dtype=cd))
         tx = make_optimizer(1e-3, betas=(0.9, 0.999), weight_decay=1e-5)
         learner = CaeReconstructionLearner(
-            dl_train, dl_valid, cae, tx, None, n_epochs=args.epochs,
+            dl_train, dl_valid, cae, tx, sched, n_epochs=args.epochs,
             base_betas=(0.9, 0.999), path_outputs_base=base,
             seed=args.seed, metrics_with_distances=False,
             log_throughput=True)

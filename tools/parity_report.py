@@ -168,44 +168,62 @@ def main():
             + " — torch/JAX deltas within this band are indistinguishable "
               "from run-to-run noise.")
 
-    # reference-length (200-epoch) pairs: <config>_fold<tag>_e200_*.json
+    # reference-length pairs: <config>_fold<tag>_e<N>_*.json (200-epoch
+    # U-Net config of record, 300-epoch CAE config of record).  A pair
+    # whose torch side is still mid-flight (no .done; both runners write
+    # curves incrementally every epoch) is compared at the MATCHED
+    # budget min(epochs_torch, epochs_jax) — both sides see identical
+    # schedules up to that epoch — and labeled with the budget used.
     long_rows = []
     for tpath in sorted(glob.glob(os.path.join(PARITY_DIR,
-                                               "*_e200_torch.json"))):
-        m = re.match(r"(\w+?)_fold(\d+)_e200_torch\.json",
+                                               "*_e*_torch.json"))):
+        m = re.match(r"(\w+?)_fold(\d+)_e(\d+)_torch\.json",
                      os.path.basename(tpath))
         if not m:
             continue
-        config, tag = m.group(1), m.group(2)
+        config, tag, nominal = m.group(1), m.group(2), int(m.group(3))
         jpath = tpath.replace("_torch.json", "_jax.json")
-        if not done(tpath) or not done(jpath):
+        if not os.path.exists(tpath) or not os.path.exists(jpath):
             continue
         with open(tpath) as f:
             tc = json.load(f)
         with open(jpath) as f:
             jc = json.load(f)
+        n = min(len(tc.get("validate", [])), len(jc.get("validate", [])))
+        if n == 0:
+            continue
+        complete = done(tpath) and done(jpath)
+        if not complete:
+            tc = {"validate": tc["validate"][:n]}
+            jc = {"validate": jc["validate"][:n]}
         keys = (["core_dc", "penu_dc"] if config == "unet"
                 else ["lesion_dc", "core_dc", "penu_dc"])
+        budget = str(nominal) if complete else f"{n} of {nominal}"
         for k in keys:
             bt, bj = best(tc, k), best(jc, k)
             if bt is not None and bj is not None:
-                long_rows.append((config, tag, k, bt, bj, bj - bt))
+                long_rows.append((config, tag, budget, k, bt, bj, bj - bt))
     if long_rows:
         lines += [
             "",
-            "## Reference-length runs (200 epochs, config of record)",
+            "## Reference-length runs (config of record: unet 200 epochs, "
+            "cae 300 epochs + lrsteps 200 250)",
             "",
-            "At the reference's published epoch budget "
-            "(/root/reference/README.md:41-43) both frameworks converge; "
-            "the 35-epoch comparisons above are mid-convergence snapshots.",
+            "At the reference's published epoch budgets "
+            "(/root/reference/README.md:33,41-43) both frameworks "
+            "converge; the 35-epoch comparisons above are mid-convergence "
+            "snapshots.  'N of M' epochs = the torch-CPU side of that "
+            "pair was still running when harvested (~40x slower than the "
+            "TPU side on this 1-core host); both frameworks are compared "
+            "at the identical budget N.",
             "",
-            "| config | fold set | structure | torch best DC | jax best DC "
-            "| delta |",
-            "|---|---|---|---|---|---|",
+            "| config | fold set | epochs | structure | torch best DC "
+            "| jax best DC | delta |",
+            "|---|---|---|---|---|---|---|",
         ]
-        for config, tag, k, bt, bj, d in long_rows:
-            lines.append(f"| {config} | {tag}.. | {k[:-3]} | {bt:.4f} "
-                         f"| {bj:.4f} | {d:+.4f} |")
+        for config, tag, budget, k, bt, bj, d in long_rows:
+            lines.append(f"| {config} | {tag}.. | {budget} | {k[:-3]} "
+                         f"| {bt:.4f} | {bj:.4f} | {d:+.4f} |")
     out = os.path.join(os.path.dirname(PARITY_DIR), "PARITY.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -264,6 +264,9 @@ def train_unet(args, ds_train, ds_valid):
 
     for epoch in range(args.epochs):
         t0 = time.time()
+        lr = _epoch_lr(args, epoch)
+        for g in opt.param_groups:
+            g["lr"] = lr
         for phase, loader, training in (("training", ds_train, True),
                                         ("validate", ds_valid, False)):
             model.train(training)
@@ -319,8 +322,10 @@ def train_cae(args, ds_train, ds_valid):
         t0 = time.time()
         # β₁ warm-ramp (reference: CaeReconstructionLearner.py:28-40)
         b1 = 0.9 - 0.1 * (4 - epoch) if epoch < 4 else 0.9
+        lr = _epoch_lr(args, epoch)
         for g in opt.param_groups:
             g["betas"] = (b1, 0.999)
+            g["lr"] = lr
         factor = min(0.04 * max(0, epoch - 25), 1)
         for phase, loader, training in (("training", ds_train, True),
                                         ("validate", ds_valid, False)):
@@ -359,6 +364,14 @@ def train_cae(args, ds_train, ds_valid):
     return curves
 
 
+def _epoch_lr(args, epoch: int, base_lr: float = 1e-3,
+              gamma: float = 0.1) -> float:
+    """MultiStepLR equivalent, same formula as the JAX side's
+    ``multistep_lr`` (train/optim.py): lr = base * gamma^#{m <= epoch}."""
+    steps = getattr(args, "lrsteps", None) or []
+    return base_lr * gamma ** sum(1 for m in steps if m <= epoch)
+
+
 def save_curves(path, curves):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
@@ -380,6 +393,9 @@ def main():
                    default=[1, 16, 24, 32, 100, 200, 1])
     p.add_argument("--xyoriginal", type=int, default=256)
     p.add_argument("--zsize", type=int, default=28)
+    p.add_argument("--lrsteps", type=int, nargs="*", default=None,
+                   help="MultiStepLR epoch milestones (gamma 0.1), the "
+                        "reference's --lrsteps (util.py:54)")
     p.add_argument("--out", required=True)
     args = p.parse_args()
 
