@@ -224,6 +224,57 @@ def main():
         for config, tag, budget, k, bt, bj, d in long_rows:
             lines.append(f"| {config} | {tag}.. | {budget} | {k[:-3]} "
                          f"| {bt:.4f} | {bj:.4f} | {d:+.4f} |")
+
+    # converged-budget seed replicates:
+    # <config>_fold<tag>_e<N>_jax_seed<S>.json vs the seed-4 base
+    # <config>_fold<tag>_e<N>_jax.json, compared at the matched budget
+    # min(epochs) if either side is still mid-flight.  These make the
+    # seed-noise band two-sided AT THE REFERENCE-LENGTH budget, where
+    # the 35-epoch band above no longer applies.
+    conv_noise = []
+    for spath in sorted(glob.glob(os.path.join(
+            PARITY_DIR, "*_e*_jax_seed*.json"))):
+        m = re.match(r"(\w+?)_fold(\d+)_e(\d+)_jax_seed(\d+)\.json",
+                     os.path.basename(spath))
+        if not m:
+            continue
+        config, tag, nominal, seed = (m.group(1), m.group(2),
+                                      int(m.group(3)), m.group(4))
+        base = os.path.join(
+            PARITY_DIR, f"{config}_fold{tag}_e{nominal}_jax.json")
+        if not os.path.exists(base):
+            continue
+        with open(base) as f:
+            c0 = json.load(f)
+        with open(spath) as f:
+            c1 = json.load(f)
+        n = min(len(c0.get("validate", [])), len(c1.get("validate", [])))
+        if n == 0:
+            continue
+        complete = done(spath) and done(base)
+        budget = str(nominal) if complete else f"{n} of {nominal}"
+        c0 = {"validate": c0["validate"][:n]}
+        c1 = {"validate": c1["validate"][:n]}
+        keys = (["core_dc", "penu_dc"] if config == "unet"
+                else ["lesion_dc", "core_dc", "penu_dc"])
+        for k in keys:
+            b0, b1 = best(c0, k), best(c1, k)
+            if b0 is not None and b1 is not None:
+                conv_noise.append((config, tag, budget, seed, k, b0, b1,
+                                   b1 - b0))
+    if conv_noise:
+        lines += [
+            "",
+            "### Seed noise at the reference-length budget (JAX, "
+            "same fold, different seed)",
+            "",
+            "| config | fold set | epochs | seed vs 4 | structure | "
+            "seed-4 | other | spread |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for config, tag, budget, seed, k, b0, b1, d in conv_noise:
+            lines.append(f"| {config} | {tag}.. | {budget} | {seed} "
+                         f"| {k[:-3]} | {b0:.4f} | {b1:.4f} | {d:+.4f} |")
     out = os.path.join(os.path.dirname(PARITY_DIR), "PARITY.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
