@@ -463,15 +463,25 @@ def main():
         out[key.replace("value", "vs_baseline")] = round(v / base[base_key], 2)
         print(json.dumps(out), flush=True)
 
+    # BENCH_LEGS (comma list of unet,cae,infer,learner; default all)
+    # selects legs — e.g. BENCH_LEGS=learner re-measures one leg after
+    # a Learner change without paying the other three.
+    want = set(os.environ.get("BENCH_LEGS", "unet,cae,infer,learner")
+               .split(","))
     # primary metric: U-Net train step at the config of record
-    leg(measure_tpu, "value", "torch_cpu_volumes_per_sec")
+    if "unet" in want:
+        leg(measure_tpu, "value", "torch_cpu_volumes_per_sec")
     # flagship model: CAE reconstruction train step
-    leg(measure_tpu_cae, "cae_value", "torch_cpu_cae_volumes_per_sec")
+    if "cae" in want:
+        leg(measure_tpu_cae, "cae_value", "torch_cpu_cae_volumes_per_sec")
     # full-volume batch-1 eval-mode inference (the tester semantics)
-    leg(measure_tpu_infer, "infer_value", "torch_cpu_infer_volumes_per_sec")
+    if "infer" in want:
+        leg(measure_tpu_infer, "infer_value",
+            "torch_cpu_infer_volumes_per_sec")
     # end-to-end Learner epoch-loop throughput (not a step microbench)
-    leg(lambda: measure_learner(epochs=4), "learner_value",
-        "torch_cpu_volumes_per_sec")
+    if "learner" in want:
+        leg(lambda: measure_learner(epochs=4), "learner_value",
+            "torch_cpu_volumes_per_sec")
 
 
 if __name__ == "__main__":

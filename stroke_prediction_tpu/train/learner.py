@@ -464,9 +464,32 @@ class Learner:
                 # global batch the chips actually processed
                 n_vol += n * jax.process_count()
         # ONE bulk device->host fetch per epoch (the reference syncs every
-        # batch for its numpy metrics, metrics.py:49-62); scanned entries
-        # come back stacked (n_steps,) and are expanded to per-step dicts
-        fetched = jax.device_get(results)
+        # batch for its numpy metrics, metrics.py:49-62).  The fetch is
+        # PACKED: over the axon tunnel each pytree leaf is its own
+        # round trip, so the per-epoch fixed cost scales with leaf
+        # count (chunk groups x metric keys) unless the leaves are
+        # concatenated in-graph into one flat array first.  Scanned
+        # entries come back stacked (n_steps,) and are expanded to
+        # per-step dicts.
+        leaf_keys = [list(tree.keys()) for tree in results]
+        leaves = [jnp.asarray(tree[k], jnp.float32).reshape(-1)
+                  for tree, ks in zip(results, leaf_keys) for k in ks]
+        sizes = [int(v.size) for v in leaves]
+        offs = np.cumsum([0] + sizes)
+        if leaves:
+            packed = (jnp.concatenate(leaves) if len(leaves) > 1
+                      else leaves[0])
+            flat = np.asarray(jax.device_get(packed))
+        else:
+            flat = np.zeros((0,), np.float32)
+        fetched, li = [], 0
+        for tree, ks in zip(results, leaf_keys):
+            rebuilt = {}
+            for k in ks:
+                seg = flat[offs[li]:offs[li + 1]]
+                rebuilt[k] = seg.reshape(jnp.shape(tree[k]))
+                li += 1
+            fetched.append(rebuilt)
         if stacked:
             host_list = []
             for n, tree in zip(stacked, fetched):
