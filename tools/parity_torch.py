@@ -261,8 +261,9 @@ def train_unet(args, ds_train, ds_valid):
     rs = np.random.RandomState(args.seed + 100)
     curves = {"training": [], "validate": []}
     patch, pad = (104, 104, 68), (20, 20, 20)
+    start = _load_ckpt(args, [model], opt, rs, [ds_train, ds_valid], curves)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start, args.epochs):
         t0 = time.time()
         lr = _epoch_lr(args, epoch)
         for g in opt.param_groups:
@@ -295,6 +296,8 @@ def train_unet(args, ds_train, ds_valid):
               f"penu {m['penu_dc']:.3f} ({time.time() - t0:.0f}s)",
               flush=True)
         save_curves(args.out, curves)
+        _save_ckpt(args, epoch + 1, [model], opt, rs,
+                   [ds_train, ds_valid], curves)
     return curves
 
 
@@ -306,6 +309,8 @@ def train_cae(args, ds_train, ds_valid):
                            weight_decay=1e-5)
     rs = np.random.RandomState(args.seed + 100)
     curves = {"training": [], "validate": []}
+    start = _load_ckpt(args, [enc, dec], opt, rs, [ds_train, ds_valid],
+                       curves)
 
     def forward(labels_np, clinical_np, training):
         y = to_torch(labels_np)
@@ -318,7 +323,7 @@ def train_cae(args, ds_train, ds_valid):
         return (dec(z_core), dec(z_penu), dec(z_lesion), dec(z_interp),
                 core_gt, penu_gt, lesion_gt, z_interp, z_lesion)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start, args.epochs):
         t0 = time.time()
         # β₁ warm-ramp (reference: CaeReconstructionLearner.py:28-40)
         b1 = 0.9 - 0.1 * (4 - epoch) if epoch < 4 else 0.9
@@ -361,6 +366,8 @@ def train_cae(args, ds_train, ds_valid):
               f"core {m['core_dc']:.3f} penu {m['penu_dc']:.3f} "
               f"({time.time() - t0:.0f}s)", flush=True)
         save_curves(args.out, curves)
+        _save_ckpt(args, epoch + 1, [enc, dec], opt, rs,
+                   [ds_train, ds_valid], curves)
     return curves
 
 
@@ -376,6 +383,48 @@ def save_curves(path, curves):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(curves, f)
+
+
+# ---------------------------------------------------------- resume support
+
+def _ckpt_path(args) -> str:
+    return args.ckpt or (args.out + ".ckpt")
+
+
+def _save_ckpt(args, epoch_done, modules, opt, rs, loaders, curves):
+    """Snapshot everything the epoch loop consumes (model/opt params,
+    every RNG stream) so a killed run resumes on the exact trajectory."""
+    path = _ckpt_path(args)
+    tmp = path + ".tmp"
+    torch.save({
+        "epoch_done": epoch_done,
+        "models": [m.state_dict() for m in modules],
+        "opt": opt.state_dict(),
+        "np_rs": rs.get_state(),
+        "torch_rng": torch.get_rng_state(),
+        "loader_rs": [ld._rs.get_state() for ld in loaders],
+        "curves": curves,
+    }, tmp)
+    os.replace(tmp, path)
+
+
+def _load_ckpt(args, modules, opt, rs, loaders, curves):
+    """Restore a snapshot if one exists; returns the first epoch to run."""
+    path = _ckpt_path(args)
+    if not os.path.exists(path):
+        return 0
+    state = torch.load(path, weights_only=False)
+    for m, sd in zip(modules, state["models"]):
+        m.load_state_dict(sd)
+    opt.load_state_dict(state["opt"])
+    rs.set_state(state["np_rs"])
+    torch.set_rng_state(state["torch_rng"])
+    for ld, s in zip(loaders, state["loader_rs"]):
+        ld._rs.set_state(s)
+    curves.clear()
+    curves.update(state["curves"])
+    print(f"resumed from {path} at epoch {state['epoch_done']}", flush=True)
+    return state["epoch_done"]
 
 
 def main():
@@ -397,6 +446,8 @@ def main():
                    help="MultiStepLR epoch milestones (gamma 0.1), the "
                         "reference's --lrsteps (util.py:54)")
     p.add_argument("--out", required=True)
+    p.add_argument("--ckpt", default=None,
+                   help="resume checkpoint path (default: <out>.ckpt)")
     args = p.parse_args()
 
     torch.manual_seed(args.seed)
