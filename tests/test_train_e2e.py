@@ -195,3 +195,41 @@ class TestValidationOnlyDistances:
         assert np.isinf(m_train["penu_hd"])
         assert np.isfinite(m_valid["penu_hd"])
         assert np.isfinite(m_valid["penu_assd"])
+
+
+class TestPrestagedEpochInputs:
+    """The device-resident path stages each epoch's row indices / loss
+    factor during the previous epoch's dispatch (Learner._prestage_after)
+    so the timed train window holds only dispatch + the packed metrics
+    fetch.  Staging must not change the per-loader RNG consumption order:
+    curves are bit-identical with staging disabled."""
+
+    def _run(self, tmp_path, tag, prestage):
+        provider = SyntheticCaseProvider(n_cases=6, shape_xyz=(24, 24, 24),
+                                         seed=4,
+                                         penu_radius_frac=(0.3, 0.45))
+        ds = StrokeDataset3D(provider, [MOD_CBV, MOD_TTD],
+                             [LABEL_CORE, LABEL_PENU], flip_split_id=15,
+                             pad=(20, 20, 20))
+        train, valid = get_stroke_shape_training_data(
+            ds, range(6), 0.34, seed=4, batchsize=4)
+        learner = UnetSegmentationLearner(
+            train, valid, Unet3D(channels=(2, 4, 6, 8, 6, 4, 6, 2)),
+            make_optimizer(1e-3, betas=(0.99, 0.999)), None, n_epochs=3,
+            patch_whd=(44, 44, 44), pad_xyz=(20, 20, 20),
+            path_outputs_base=str(tmp_path / tag), seed=4,
+            metrics_with_distances=False)
+        if not prestage:
+            learner._prestage_after = lambda epoch, training: None
+        learner.run_training()
+        return learner._metric_dtos
+
+    def test_curves_identical_with_and_without_staging(self, tmp_path):
+        staged = self._run(tmp_path, "staged", prestage=True)
+        inline = self._run(tmp_path, "inline", prestage=False)
+        for phase in ("training", "validate"):
+            assert len(staged[phase]) == len(inline[phase])
+            for ms, mi in zip(staged[phase], inline[phase]):
+                assert set(ms) == set(mi)
+                for k in ms:
+                    assert ms[k] == mi[k], (phase, k)
