@@ -13,12 +13,12 @@ PyTorch-CPU reference equivalent, for BOTH headline configs:
 
 Prints a JSON line after EVERY completed leg (each a superset of the
 last — a budget-killed run still leaves the finished legs parseable);
-the final line carries all four legs:
+ONE final combined line carries all four legs plus telemetry:
   {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N,
-   "cae_value": N, "cae_vs_baseline": N, "infer_value": N, ...,
-   "learner_value": N, ...}
-Wall-clock budget: BENCH_BUDGET_S (default 1200 s) — legs that would
-start with <30 s left are skipped, never half-run.
+   "cae_value": N, ..., "infer_value": N, ..., "learner_value": N, ...,
+   "skipped": [], "legs_elapsed_s": {...}, "legs_compile_s": {...}}
+Wall-clock budget: BENCH_BUDGET_S (default 1200 s) — a low budget runs
+reduced-steps leg variants; only a nearly-exhausted one (<25 s) skips.
 
 The torch-CPU baselines are measured once and cached in
 BASELINE_MEASURED.json (delete the file to re-measure).
@@ -30,7 +30,13 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# Repo-local persistent compile cache: the driver's bench container has a
+# cold /tmp but shares the repo mount, so builder-warmed Mosaic/XLA
+# compiles are reused there (round-4 lesson: a cold cache cost ~26 min of
+# recompiles and starved 3 of 4 legs).  Pre-warmed in-round; gitignored.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 BATCH = int(os.environ.get("BENCH_BATCH", "6"))
 PATCH = (104, 104, 68)          # W, H, D
@@ -97,8 +103,10 @@ def measure_tpu(steps: int = 20) -> float:
     # warmup / compile; the float() fetch forces real execution (the axon
     # tunnel defers work past block_until_ready, so timings must be
     # anchored on host materialization)
+    tc = time.perf_counter()
     state, loss = train_step(state, images, labels, keys[0])
     _ = float(loss)
+    compile_s = time.perf_counter() - tc
     state, loss = train_step(state, images, labels, keys[1])
     _ = float(loss)
 
@@ -113,7 +121,7 @@ def measure_tpu(steps: int = 20) -> float:
     t1 = timed(1, 2)
     tn = timed(steps + 1, 3)
     dt = max(tn - t1, 1e-9) / steps
-    return BATCH / dt
+    return BATCH / dt, compile_s
 
 
 CHANNELS_CAE = (1, 16, 24, 32, 100, 200, 1)
@@ -179,8 +187,10 @@ def measure_tpu_cae(steps: int = 10) -> float:
                              batch_stats=mut["batch_stats"],
                              step=state.step + 1), loss
 
+    tc = time.perf_counter()
     state, loss = train_step(state, labels, clin)
     _ = float(loss)
+    compile_s = time.perf_counter() - tc
     state, loss = train_step(state, labels, clin)
     _ = float(loss)
     t0 = time.perf_counter()
@@ -188,7 +198,7 @@ def measure_tpu_cae(steps: int = 10) -> float:
         state, loss = train_step(state, labels, clin)
     _ = float(loss)
     dt = (time.perf_counter() - t0) / steps
-    return BATCH_CAE / dt
+    return BATCH_CAE / dt, compile_s
 
 
 def measure_tpu_infer(steps: int = 30) -> float:
@@ -213,8 +223,10 @@ def measure_tpu_infer(steps: int = 30) -> float:
                            train=False)
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    tc = time.perf_counter()
     out = fwd(variables, x)
     _ = float(jnp.sum(out))
+    compile_s = time.perf_counter() - tc
     out = fwd(variables, x)
     _ = float(jnp.sum(out))
     t0 = time.perf_counter()
@@ -222,7 +234,7 @@ def measure_tpu_infer(steps: int = 30) -> float:
         out = fwd(variables, x)
     _ = float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / steps
-    return 1.0 / dt
+    return 1.0 / dt, compile_s
 
 
 def measure_torch_cpu_infer_baseline(steps: int = 2) -> float:
@@ -278,7 +290,7 @@ def measure_learner(epochs: int = 6) -> float:
         path_outputs_base="/tmp/bench_learner", seed=4,
         metrics_with_distances=False, log_throughput=True)
     learner.run_training()
-    return learner._timer.volumes_per_sec_per_chip
+    return learner._timer.volumes_per_sec_per_chip, None
 
 
 def measure_torch_cpu_cae_baseline(steps: int = 1) -> float:
@@ -437,28 +449,41 @@ def main():
     """Driver-proof schedule: a JSON line with every key gathered so far
     is printed IMMEDIATELY after each leg completes (a driver that kills
     the process mid-run still harvests the finished legs from the last
-    parseable line), a wall-clock budget (BENCH_BUDGET_S, default 20 min)
-    skips remaining legs rather than overrunning, and the end-to-end
-    Learner leg is bounded (4 epochs; cold synthetic cache ~2 s/case).
-    Leg order: cheapest / headline first."""
+    parseable line), and ONE final combined line carries all legs plus an
+    explicit ``skipped`` list and per-leg elapsed/compile telemetry.
+    Wall-clock budget (BENCH_BUDGET_S, default 20 min): when the budget
+    runs low a leg runs a reduced-steps variant instead of being skipped
+    outright; only a nearly-exhausted budget (<25 s) skips.  Leg order:
+    cheap-compile legs (infer, cae) before the U-Net step and the
+    end-to-end Learner leg, so one slow compile cannot starve the rest."""
     t_start = time.monotonic()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
     out = {"metric": "unet3d_train_volumes_per_sec_per_chip",
            "value": None, "unit": "volumes/sec/chip", "vs_baseline": None}
+    skipped = []
+    elapsed = {}
+    compile_s = {}
 
     base = get_baselines()
 
-    def leg(fn, key, base_key):
+    def leg(fn_full, fn_fast, key, base_key, fast_below=240.0):
         left = budget - (time.monotonic() - t_start)
-        if left <= 30:
+        if left <= 25:
+            skipped.append(key)
             print(json.dumps(dict(out, skipped=key, budget_left_s=round(
                 left, 1))), flush=True)
             return
+        fn = fn_fast if left < fast_below else fn_full
+        t0 = time.monotonic()
         try:
-            v = fn()
+            v, comp = fn()
         except Exception as e:                      # noqa: BLE001
+            skipped.append(key)
             print(json.dumps(dict(out, error=f"{key}: {e!r}")), flush=True)
             return
+        elapsed[key] = round(time.monotonic() - t0, 1)
+        if comp is not None:
+            compile_s[key] = round(comp, 1)
         out[key] = round(v, 3)
         out[key.replace("value", "vs_baseline")] = round(v / base[base_key], 2)
         print(json.dumps(out), flush=True)
@@ -468,20 +493,32 @@ def main():
     # a Learner change without paying the other three.
     want = set(os.environ.get("BENCH_LEGS", "unet,cae,infer,learner")
                .split(","))
-    # primary metric: U-Net train step at the config of record
-    if "unet" in want:
-        leg(measure_tpu, "value", "torch_cpu_volumes_per_sec")
+    # full-volume batch-1 eval-mode inference (the tester semantics) —
+    # cheapest compile, runs first
+    if "infer" in want:
+        leg(measure_tpu_infer, lambda: measure_tpu_infer(steps=8),
+            "infer_value", "torch_cpu_infer_volumes_per_sec")
     # flagship model: CAE reconstruction train step
     if "cae" in want:
-        leg(measure_tpu_cae, "cae_value", "torch_cpu_cae_volumes_per_sec")
-    # full-volume batch-1 eval-mode inference (the tester semantics)
-    if "infer" in want:
-        leg(measure_tpu_infer, "infer_value",
-            "torch_cpu_infer_volumes_per_sec")
+        leg(measure_tpu_cae, lambda: measure_tpu_cae(steps=4),
+            "cae_value", "torch_cpu_cae_volumes_per_sec")
+    # primary metric: U-Net train step at the config of record
+    if "unet" in want:
+        leg(measure_tpu, lambda: measure_tpu(steps=5),
+            "value", "torch_cpu_volumes_per_sec")
     # end-to-end Learner epoch-loop throughput (not a step microbench)
     if "learner" in want:
-        leg(lambda: measure_learner(epochs=4), "learner_value",
-            "torch_cpu_volumes_per_sec")
+        leg(lambda: measure_learner(epochs=4),
+            lambda: measure_learner(epochs=2),
+            "learner_value", "torch_cpu_volumes_per_sec", fast_below=300.0)
+
+    # the single final combined line the driver parses (last parseable
+    # line wins): explicit skipped list + per-leg telemetry
+    print(json.dumps(dict(
+        out, skipped=skipped, legs_elapsed_s=elapsed,
+        legs_compile_s=compile_s,
+        budget_left_s=round(budget - (time.monotonic() - t_start), 1))),
+        flush=True)
 
 
 if __name__ == "__main__":

@@ -540,16 +540,49 @@ def _bwd_kernel(*refs, nz: int, hco: int, hci: int, wpi: int, wcx: int,
             gblk = g_refs[1][s, 0]                   # gpad[d+1] = g cell d
             grows = _roll_w(gblk, interpret)[1:1 + hco, :wcx, :]
             grows = grows.reshape(hco * wcx, co8)
-            for zi in range(nz):
-                base = x_refs[zi][s, 0]              # (hci, wcx, c8)
-                rolled = _roll_w(base, interpret)
-                for qy in range(2):
-                    for qx, xv in ((0, base), (1, rolled)):
-                        rows = xv[qy:qy + hco].reshape(hco * wcx, c8)
-                        qi = (zi * 2 + qy) * 2 + qx
-                        dw_ref[qi] += jax.lax.dot_general(
-                            rows, grows, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+            _dw_taps(x_refs, grows, dw_ref, s, nz=nz, hco=hco, wcx=wcx,
+                     c8=c8, co8=co8, interpret=interpret)
+
+
+def _dw_impl() -> str:
+    """dW tap-product formulation: 'wide' (default) concatenates the nq
+    tap views along the LHS lane axis and issues ONE (K, nq*c8) x
+    (K, co8) gemm per sample — the per-tap gemms have M = c8 (8·C_in,
+    e.g. 16 lanes for C_in 2), so the serial per-tap accumulate chain
+    runs the MXU at M/128 utilization (the round-4 roofline's named
+    backward residual); the wide form fills M across taps.  'taps' keeps
+    the per-tap accumulated sub-gemms."""
+    return os.environ.get("STROKE_TPU_DW", "taps")
+
+
+def _dw_taps(x_refs, grows, dw_ref, s, *, nz: int, hco: int, wcx: int,
+             c8: int, co8: int, interpret: bool):
+    """One sample's dW contribution: (tap view x cotangent) for the
+    nz*4 superpatch taps, accumulated into the VMEM-resident dw_ref."""
+    if _dw_impl() == "wide":
+        packs = []
+        for zi in range(nz):
+            base = x_refs[zi][s, 0]
+            rolled = _roll_w(base, interpret)
+            for qy in range(2):
+                for _qx, xv in ((0, base), (1, rolled)):
+                    packs.append(xv[qy:qy + hco].reshape(hco * wcx, c8))
+        wideX = jnp.concatenate(packs, axis=1)       # (K, nq*c8)
+        dw_ref[:] = dw_ref[:] + jax.lax.dot_general(
+            wideX, grows, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(
+                nz * 4, c8, co8)
+        return
+    for zi in range(nz):
+        base = x_refs[zi][s, 0]
+        rolled = _roll_w(base, interpret)
+        for qy in range(2):
+            for qx, xv in ((0, base), (1, rolled)):
+                rows = xv[qy:qy + hco].reshape(hco * wcx, c8)
+                qi = (zi * 2 + qy) * 2 + qx
+                dw_ref[qi] += jax.lax.dot_general(
+                    rows, grows, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
 
 def _dx_kernel(*refs, nz: int, hci: int, wpi: int, c8: int,
@@ -603,16 +636,8 @@ def _dw_kernel(*refs, nz: int, hco: int, wcx: int, c8: int, co8: int,
         gblk = g_ref[s, 0]
         grows = _roll_w(gblk, interpret)[1:1 + hco, :wcx, :]
         grows = grows.reshape(hco * wcx, co8)
-        for zi in range(nz):
-            base = x_refs[zi][s, 0]
-            rolled = _roll_w(base, interpret)
-            for qy in range(2):
-                for qx, xv in ((0, base), (1, rolled)):
-                    rows = xv[qy:qy + hco].reshape(hco * wcx, c8)
-                    qi = (zi * 2 + qy) * 2 + qx
-                    dw_ref[qi] += jax.lax.dot_general(
-                        rows, grows, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+        _dw_taps(x_refs, grows, dw_ref, s, nz=nz, hco=hco, wcx=wcx,
+                 c8=c8, co8=co8, interpret=interpret)
 
 
 def _compiler_params():

@@ -95,10 +95,10 @@ class Learner:
                 "STROKE_TPU_DEVICE_CACHE", "1") != "0"
         self._device_cache = device_cache
         self._dev_data: Dict[Any, tuple] = {}
-        # epoch inputs staged ahead of use: (loader id, epoch) ->
-        # (row-index groups, loss-factor scalar), device-put while the
-        # previous epoch's dispatch is still computing (_prestage_after)
-        self._staged_inputs: Dict[Any, tuple] = {}
+        # per-loader epoch plans for the device-resident path: every
+        # epoch's row permutation and loss factor, device-put ONCE at
+        # first use, indexed in-graph by epoch counter (_make_plan)
+        self._plans: Dict[str, dict] = {}
 
         self._state: Optional[TrainState] = None
         self._train_step = None
@@ -150,13 +150,13 @@ class Learner:
     def _install_steps(self, train_fn, eval_fn):
         """Wrap the subclass's pure step functions.
 
-        Two jitted variants of each: the host-batch step (multi-host /
-        prefetch path) and a row-gather step for the device-resident
-        dataset, where the batch is assembled in-graph from the
-        HBM-cached case arrays by row index (compiled into the step, so
-        no host stacking or host->device transfer per batch).
+        The host-batch steps (multi-host / prefetch path) are jitted
+        here; the device-resident dataset path builds per-loader EPOCH
+        functions from the same raw steps (:meth:`_build_epoch_fn`), in
+        which the batch is assembled in-graph from the HBM-cached case
+        arrays by row index — no host stacking or host->device transfer
+        per batch, and one dispatch per epoch phase.
         """
-        import functools
 
         def _phased(fn, phase):
             def wrapped(*a, **kw):
@@ -164,10 +164,10 @@ class Learner:
                 return fn(*a, **kw)
             return wrapped
 
-        train_fn = _phased(train_fn, "train")
-        eval_fn = _phased(eval_fn, "eval")
-        self._train_step = jax.jit(train_fn, donate_argnums=(0,))
-        self._eval_step = jax.jit(eval_fn)
+        self._train_fn_raw = _phased(train_fn, "train")
+        self._eval_fn_raw = _phased(eval_fn, "eval")
+        self._train_step = jax.jit(self._train_fn_raw, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_fn_raw)
 
         mesh = self._mesh
 
@@ -186,44 +186,69 @@ class Learner:
                 batch[k] = g
             return batch
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_rows(state, data, rows, key, factor):
-            return train_fn(state, gather(data, rows), key, factor)
+        self._gather = gather
 
-        @jax.jit
-        def eval_rows(state, data, rows, key, factor):
-            return eval_fn(state, gather(data, rows), key, factor)
+    def _build_epoch_fn(self, training: bool, n_groups: int):
+        """One jitted WHOLE-EPOCH function: scans every chunk group of
+        the epoch and returns the metric leaves packed into a single
+        flat f32 vector, so an epoch phase is ONE dispatch + ONE
+        device->host fetch (2 tunnel round trips — round-4 measured the
+        per-epoch fixed cost at ~4 round trips with per-group dispatch
+        and a separate packing call; on the tunneled TPU each jitted
+        call and each fetch is an RPC).
 
-        # Scanned multi-step variants: a whole epoch group (rows is
-        # (n_steps, batch)) runs as ONE dispatch — on the tunneled TPU
-        # each jitted call is an RPC round trip, and the per-step host
-        # key-splits + rows staging were the measured Learner-vs-step
-        # gap (round-3 verdict item 4).  The in-scan split reproduces
-        # the host loop's key sequence exactly (self._key, sub =
-        # split(self._key) per step), so curves are bit-identical.
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_scan(state, data, rows, key, factor):
-            def body(carry, r):
-                st, k = carry
-                k, sub = jax.random.split(k)
-                st, m = train_fn(st, gather(data, r), sub, factor)
-                return (st, k), m
-            (state, key), metrics = jax.lax.scan(body, (state, key), rows)
-            return state, key, metrics
+        The in-scan key split reproduces the host loop's key sequence
+        exactly (``self._key, sub = split(self._key)`` per step), so
+        curves are bit-identical to the host path.  The row permutation
+        and curriculum factor for every epoch live on device
+        (:meth:`_make_plan`) and are indexed in-graph by the epoch
+        counter — no per-epoch host->device staging at all.
 
-        @jax.jit
-        def eval_scan(state, data, rows, key, factor):
-            def body(k, r):
-                k, sub = jax.random.split(k)
-                m = eval_fn(state, gather(data, r), sub, factor)
-                return k, m
-            key, metrics = jax.lax.scan(body, key, rows)
-            return key, metrics
+        Returns ``(fn, layout)``: ``layout`` is filled at trace time
+        with the packed vector's (group, metric key, shape) slices.
+        """
+        import functools
 
-        self._train_step_rows = train_rows
-        self._eval_step_rows = eval_rows
-        self._train_scan_rows = train_scan
-        self._eval_scan_rows = eval_scan
+        step_fn = self._train_fn_raw if training else self._eval_fn_raw
+        gather = self._gather
+        layout: List[tuple] = []
+
+        def run_epoch(state, data, rows_groups, factors, e, key):
+            factor = factors[e]
+            packed = []
+            for g in range(n_groups):
+                rows = rows_groups[g][e]
+                if training:
+                    def body(carry, r):
+                        st, k = carry
+                        k, sub = jax.random.split(k)
+                        st, m = step_fn(st, gather(data, r), sub, factor)
+                        return (st, k), m
+                    (state, key), metrics = jax.lax.scan(
+                        body, (state, key), rows)
+                else:
+                    def body(k, r):
+                        k, sub = jax.random.split(k)
+                        m = step_fn(state, gather(data, r), sub, factor)
+                        return k, m
+                    key, metrics = jax.lax.scan(body, key, rows)
+                for name in sorted(metrics):
+                    v = metrics[name]
+                    if not any(lay[:2] == (g, name) for lay in layout):
+                        layout.append((g, name, tuple(v.shape)))
+                    packed.append(jnp.asarray(v, jnp.float32).reshape(-1))
+            flat = packed[0] if len(packed) == 1 else jnp.concatenate(packed)
+            return state, key, flat
+
+        if training:
+            fn = functools.partial(jax.jit, donate_argnums=(0,))(run_epoch)
+        else:
+            def eval_epoch(state, data, rows_groups, factors, e, key):
+                _, key, flat = run_epoch(state, data, rows_groups,
+                                         factors, e, key)
+                return key, flat
+            fn = jax.jit(eval_epoch)
+        return fn, layout
 
     def _device_data(self, loader):
         """HBM-resident (N, ...) case arrays for a loader's subset, built
@@ -403,54 +428,71 @@ class Learner:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _make_epoch_inputs(self, loader, epoch: int):
-        """One epoch's device inputs for the row-gather path: row-index
-        arrays grouped into equal-chunk-size runs (each run is one scanned
-        dispatch) plus the loss-factor scalar.  Consumes the loader RNG
-        exactly once — identical visiting order to the host ``__iter__``
-        path.  Callable ahead of time (:meth:`_stage_epoch`) so the
-        host->device transfers overlap the previous epoch's device compute
-        instead of sitting in the timed train window (on the tunneled TPU
-        every host-blocking transfer is a ~10 ms round trip)."""
+    def _make_plan(self, loader, epoch0: int) -> dict:
+        """The whole run's device inputs for one loader, built ONCE at
+        first use: every remaining epoch's row permutation (consuming
+        the loader RNG strictly in epoch order — identical visiting
+        order to the per-epoch host ``__iter__`` path) stacked into
+        per-group ``(n_epochs, n_chunks, size)`` device arrays, plus the
+        per-epoch curriculum factors.  Epochs then index these arrays
+        in-graph: the timed train window holds no host->device staging
+        at all (round-4 measured ~4 tunnel round trips/epoch of fixed
+        cost from per-epoch rows/factor pushes and per-group
+        dispatches)."""
         _, rowmap = self._device_data(loader)
-        chunks = loader.epoch_chunks()
-        groups = []
+        n_epochs = self._n_epochs - epoch0
+        per_epoch = [loader.epoch_chunks() for _ in range(n_epochs)]
+        sizes0 = [len(c) for c in per_epoch[0]]
+        assert all([len(c) for c in ch] == sizes0 for ch in per_epoch), \
+            "epoch chunk structure must be epoch-invariant"
+        # consecutive equal-sized chunks form one scan group (typically
+        # the whole epoch + at most one ragged tail)
+        bounds = []
         i = 0
-        while i < len(chunks):
-            j, size = i, len(chunks[i])
-            while j < len(chunks) and len(chunks[j]) == size:
+        while i < len(sizes0):
+            j = i
+            while j < len(sizes0) and sizes0[j] == sizes0[i]:
                 j += 1
-            rows = jnp.asarray(
-                [[rowmap[x] for x in c] for c in chunks[i:j]], jnp.int32)
-            groups.append((rows, j - i, size))
+            bounds.append((i, j, sizes0[i]))
             i = j
-        factor = jnp.asarray(self.loss_factor(epoch), jnp.float32)
-        return groups, factor
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def _stage_epoch(self, loader, epoch: int):
-        if loader is None or epoch >= self._n_epochs:
-            return
-        key = (id(loader), epoch)
-        if key not in self._staged_inputs:
-            self._staged_inputs[key] = self._make_epoch_inputs(loader, epoch)
-
-    def _prestage_after(self, epoch: int, training: bool):
-        """Stage the inputs the epoch protocol needs NEXT, while the
-        dispatch just issued is still computing: the same epoch's
-        validation pass after a training pass, and the next training
-        epoch after the validation pass (per-loader RNG streams are
-        consumed strictly in epoch order, so curves are unchanged)."""
-        if training and self._dataloader_validation is not None:
-            self._stage_epoch(self._dataloader_validation, epoch)
+            def put(a):
+                return jax.device_put(a, NamedSharding(self._mesh, P()))
         else:
-            self._stage_epoch(self._dataloader_training, epoch + 1)
+            put = jax.device_put
+        rows = tuple(
+            put(jnp.asarray(
+                [[[rowmap[x] for x in c] for c in ch[i:j]]
+                 for ch in per_epoch], jnp.int32))
+            for i, j, _size in bounds)
+        factors = put(jnp.asarray(
+            [self.loss_factor(epoch0 + e) for e in range(n_epochs)],
+            jnp.float32))
+        step0 = np.cumsum([0] + [j - i for i, j, _ in bounds])
+        return {"epoch0": epoch0, "n_epochs": n_epochs, "rows": rows,
+                "factors": factors, "bounds": bounds,
+                "group_step0": step0, "n_steps": int(step0[-1]),
+                "n_vol": sum((j - i) * s for i, j, s in bounds),
+                "fns": {}}
+
+    def _get_plan(self, loader, epoch: int, training: bool):
+        role = "train" if loader is self._dataloader_training else "valid"
+        plan = self._plans.get(role)
+        if plan is None:
+            plan = self._make_plan(loader, epoch)
+            self._plans[role] = plan
+        if training not in plan["fns"]:
+            plan["fns"][training] = self._build_epoch_fn(
+                training, len(plan["bounds"]))
+        return plan
 
     def _run_epoch(self, loader, epoch: int, training: bool) -> dict:
         from stroke_prediction_tpu.utils.profiling import annotate
         phase = "train_step" if training else "eval_step"
         use_cache = self._device_cache and jax.process_count() == 1
         results = []          # per-step metric trees, still on device
-        stacked = []          # per-entry step count (scanned groups)
         n_vol = 0
         if training:
             # epoch-level timing, anchored on the end-of-epoch metrics
@@ -462,29 +504,37 @@ class Learner:
             # device-resident path: batches are gathered in-graph from
             # the HBM-cached cases by permuted row index — no host
             # stacking, no host->device transfer, no per-step host sync.
-            # Consecutive equal-sized chunks run as ONE scanned dispatch
-            # (typically the whole epoch + at most one ragged tail), and
-            # the epoch's inputs were normally staged to the device
-            # during the PREVIOUS epoch's compute (_prestage_after), so
-            # the timed window holds only the dispatch + the one packed
-            # metrics fetch.
+            # The whole epoch phase is ONE dispatch of a jitted epoch
+            # function (every chunk group scanned, metrics packed into
+            # one flat vector in-graph) + ONE device->host fetch; row
+            # permutations and curriculum factors for every epoch are
+            # device-resident from the start (_make_plan) and indexed
+            # in-graph by the epoch counter.
+            plan = self._get_plan(loader, epoch, training)
             data, _ = self._device_data(loader)
-            staged = self._staged_inputs.pop((id(loader), epoch), None)
-            if staged is None:
-                staged = self._make_epoch_inputs(loader, epoch)
-            groups, factor = staged
-            for rows, n_chunks, size in groups:
-                with annotate(phase):
-                    if training:
-                        self._state, self._key, metrics = \
-                            self._train_scan_rows(self._state, data, rows,
-                                                  self._key, factor)
-                    else:
-                        self._key, metrics = self._eval_scan_rows(
-                            self._state, data, rows, self._key, factor)
-                results.append(metrics)
-                stacked.append(n_chunks)
-                n_vol += size * n_chunks
+            e = epoch - plan["epoch0"]
+            assert 0 <= e < plan["n_epochs"], "epoch outside the plan"
+            fn, layout = plan["fns"][training]
+            with annotate(phase):
+                if training:
+                    self._state, self._key, flat = fn(
+                        self._state, data, plan["rows"], plan["factors"],
+                        e, self._key)
+                else:
+                    self._key, flat = fn(
+                        self._state, data, plan["rows"], plan["factors"],
+                        e, self._key)
+            n_vol = plan["n_vol"]
+            flat = np.asarray(jax.device_get(flat))
+            host_list = [{} for _ in range(plan["n_steps"])]
+            off = 0
+            for g, name, shape in layout:
+                n = int(np.prod(shape))
+                seg = flat[off:off + n].reshape(shape)
+                off += n
+                base = plan["group_step0"][g]
+                for s in range(shape[0]):
+                    host_list[base + s][name] = seg[s]
         else:
             factor = jnp.asarray(self.loss_factor(epoch), jnp.float32)
             # host path (multi-host / NIfTI ingest): double-buffered
@@ -508,54 +558,39 @@ class Learner:
                 # multi-host: the local batch is 1/process_count of the
                 # global batch the chips actually processed
                 n_vol += n * jax.process_count()
-        # ONE bulk device->host fetch per epoch (the reference syncs every
-        # batch for its numpy metrics, metrics.py:49-62).  The fetch is
-        # PACKED: over the axon tunnel each pytree leaf is its own
-        # round trip, so the per-epoch fixed cost scales with leaf
-        # count (chunk groups x metric keys) unless the leaves are
-        # concatenated in-graph into one flat array first.  Scanned
-        # entries come back stacked (n_steps,) and are expanded to
-        # per-step dicts.
-        leaf_keys = [list(tree.keys()) for tree in results]
-        leaves = [tree[k] for tree, ks in zip(results, leaf_keys)
-                  for k in ks]
-        sizes = [max(int(np.prod(jnp.shape(v))), 1) for v in leaves]
-        offs = np.cumsum([0] + sizes)
-        if leaves:
-            # the cast/flatten/concat runs as ONE jitted call (cached per
-            # leaf structure): issued op-by-op it is ~27 separate lazy op
-            # dispatches per epoch on the tunneled TPU
-            if not hasattr(self, "_pack_jit"):
-                self._pack_jit = jax.jit(_pack_leaves)
-            flat = np.asarray(jax.device_get(self._pack_jit(tuple(leaves))))
-        else:
-            flat = np.zeros((0,), np.float32)
-        fetched, li = [], 0
-        for tree, ks in zip(results, leaf_keys):
-            rebuilt = {}
-            for k in ks:
-                seg = flat[offs[li]:offs[li + 1]]
-                rebuilt[k] = seg.reshape(jnp.shape(tree[k]))
-                li += 1
-            fetched.append(rebuilt)
-        if stacked:
-            host_list = []
-            for n, tree in zip(stacked, fetched):
-                host_list.extend({k: v[s] for k, v in tree.items()}
-                                 for s in range(n))
-        else:
-            host_list = fetched
+            # ONE bulk device->host fetch per epoch (the reference syncs
+            # every batch for its numpy metrics, metrics.py:49-62).  The
+            # fetch is PACKED: over the axon tunnel each pytree leaf is
+            # its own round trip, so the per-epoch fixed cost scales
+            # with leaf count unless the leaves are concatenated
+            # in-graph into one flat array first.
+            leaf_keys = [list(tree.keys()) for tree in results]
+            leaves = [tree[k] for tree, ks in zip(results, leaf_keys)
+                      for k in ks]
+            sizes = [int(np.prod(jnp.shape(v))) for v in leaves]
+            offs = np.cumsum([0] + sizes)
+            if leaves:
+                # the cast/flatten/concat runs as ONE jitted call
+                # (cached per leaf structure): issued op-by-op it is ~27
+                # separate lazy op dispatches per epoch on the tunnel
+                if not hasattr(self, "_pack_jit"):
+                    self._pack_jit = jax.jit(_pack_leaves)
+                flat = np.asarray(
+                    jax.device_get(self._pack_jit(tuple(leaves))))
+            else:
+                flat = np.zeros((0,), np.float32)
+            host_list, li = [], 0
+            for tree, ks in zip(results, leaf_keys):
+                rebuilt = {}
+                for k in ks:
+                    seg = flat[offs[li]:offs[li + 1]]
+                    rebuilt[k] = seg.reshape(jnp.shape(tree[k]))
+                    li += 1
+                host_list.append(rebuilt)
         if training:
             self._timer.stop(n_vol)
             if self._log_throughput:
                 print(f"[throughput] {self._timer.summary()}", end=" ")
-        if use_cache:
-            # stage the NEXT epoch phase's inputs now — after the packed
-            # fetch fenced this epoch, in the untimed inter-phase gap
-            # (the tunnel executes enqueued work in order, so a
-            # device_put issued before the fetch would also delay its
-            # ack until the scans drain)
-            self._prestage_after(epoch, training)
         # accumulate like MeasuresDto.add (inf propagates through +=),
         # divide like MeasuresDto.div (inf kept as-is) —
         # reference: MetricMeasuresDto.py:6-24

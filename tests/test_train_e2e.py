@@ -197,14 +197,15 @@ class TestValidationOnlyDistances:
         assert np.isfinite(m_valid["penu_assd"])
 
 
-class TestPrestagedEpochInputs:
-    """The device-resident path stages each epoch's row indices / loss
-    factor during the previous epoch's dispatch (Learner._prestage_after)
-    so the timed train window holds only dispatch + the packed metrics
-    fetch.  Staging must not change the per-loader RNG consumption order:
-    curves are bit-identical with staging disabled."""
+class TestEpochPlanBitIdentity:
+    """The device-resident path precomputes EVERY epoch's row
+    permutation / loss factor at first use (Learner._make_plan) and
+    dispatches one jitted whole-epoch function per phase.  Neither the
+    up-front loader-RNG consumption nor the in-scan key splits may
+    change the training trajectory: curves must match the plain host
+    path (per-batch host stacking, per-step host key splits) exactly."""
 
-    def _run(self, tmp_path, tag, prestage):
+    def _run(self, tmp_path, tag, device_cache):
         provider = SyntheticCaseProvider(n_cases=6, shape_xyz=(24, 24, 24),
                                          seed=4,
                                          penu_radius_frac=(0.3, 0.45))
@@ -218,18 +219,18 @@ class TestPrestagedEpochInputs:
             make_optimizer(1e-3, betas=(0.99, 0.999)), None, n_epochs=3,
             patch_whd=(44, 44, 44), pad_xyz=(20, 20, 20),
             path_outputs_base=str(tmp_path / tag), seed=4,
-            metrics_with_distances=False)
-        if not prestage:
-            learner._prestage_after = lambda epoch, training: None
+            metrics_with_distances=False, device_cache=device_cache)
         learner.run_training()
         return learner._metric_dtos
 
-    def test_curves_identical_with_and_without_staging(self, tmp_path):
-        staged = self._run(tmp_path, "staged", prestage=True)
-        inline = self._run(tmp_path, "inline", prestage=False)
+    def test_curves_identical_plan_vs_host_path(self, tmp_path):
+        planned = self._run(tmp_path, "planned", device_cache=True)
+        hosted = self._run(tmp_path, "hosted", device_cache=False)
         for phase in ("training", "validate"):
-            assert len(staged[phase]) == len(inline[phase])
-            for ms, mi in zip(staged[phase], inline[phase]):
+            assert len(planned[phase]) == len(hosted[phase])
+            for ms, mi in zip(planned[phase], hosted[phase]):
                 assert set(ms) == set(mi)
                 for k in ms:
-                    assert ms[k] == mi[k], (phase, k)
+                    assert np.isclose(ms[k], mi[k], rtol=1e-5,
+                                      atol=1e-7, equal_nan=True), \
+                        (phase, k, ms[k], mi[k])
