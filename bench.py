@@ -31,12 +31,24 @@ import os
 import time
 
 # Repo-local persistent compile cache: the driver's bench container has a
-# cold /tmp but shares the repo mount, so builder-warmed Mosaic/XLA
-# compiles are reused there (round-4 lesson: a cold cache cost ~26 min of
-# recompiles and starved 3 of 4 legs).  Pre-warmed in-round; gitignored.
-os.environ.setdefault(
+# cold /tmp but shares the repo mount, so builder-warmed XLA compiles are
+# reused there (round-4 lesson: a cold cache cost ~26 min of recompiles
+# and starved 3 of 4 legs).  Pre-warmed in-round; gitignored.  NB the
+# axon sitecustomize imports jax at interpreter startup — BEFORE this
+# module runs — so the env var alone is captured too late and the cache
+# dir must be installed via config.update at runtime.
+_CACHE_DIR = os.environ.get(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+
+
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    except Exception:                                # noqa: BLE001
+        pass
 
 BATCH = int(os.environ.get("BENCH_BATCH", "6"))
 PATCH = (104, 104, 68)          # W, H, D
@@ -72,8 +84,10 @@ def measure_tpu(steps: int = 20) -> float:
          > 0.7), jnp.float32)
 
     pd, ph, pw = PATCH[2], PATCH[1], PATCH[0]
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((2, pd, ph, pw, 2)), train=False)
+    # jitted init: unjitted flax init executes op-by-op — hundreds of
+    # individual RPCs over the tunneled TPU (measured ~minutes/leg)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((2, pd, ph, pw, 2)))
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=tx.init(variables["params"]),
@@ -156,7 +170,9 @@ def measure_tpu_cae(steps: int = 10) -> float:
                          jnp.float32)
     clin = jnp.asarray(rng.rand(BATCH_CAE, 5), jnp.float32)
     dto = cae_dto_from_batch(None, labels, clin)
-    variables = cae.init(jax.random.PRNGKey(0), dto, BRANCH_GTRUTH, False)
+    variables = jax.jit(
+        lambda k, d: cae.init(k, d, BRANCH_GTRUTH, False))(
+            jax.random.PRNGKey(0), dto)
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=tx.init(variables["params"]),
@@ -218,9 +234,9 @@ def measure_tpu_infer(steps: int = 30) -> float:
     d, h, w = VOL
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(1, d, h, w, 2), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((2, PATCH[2], PATCH[1], PATCH[0], 2)),
-                           train=False)
+    variables = jax.jit(lambda k, z: model.init(k, z, train=False))(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, PATCH[2], PATCH[1], PATCH[0], 2)))
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     tc = time.perf_counter()
@@ -457,6 +473,7 @@ def main():
     cheap-compile legs (infer, cae) before the U-Net step and the
     end-to-end Learner leg, so one slow compile cannot starve the rest."""
     t_start = time.monotonic()
+    _enable_compile_cache()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
     out = {"metric": "unet3d_train_volumes_per_sec_per_chip",
            "value": None, "unit": "volumes/sec/chip", "vs_baseline": None}

@@ -551,8 +551,9 @@ def _dw_impl() -> str:
     e.g. 16 lanes for C_in 2), so the serial per-tap accumulate chain
     runs the MXU at M/128 utilization (the round-4 roofline's named
     backward residual); the wide form fills M across taps.  'taps' keeps
-    the per-tap accumulated sub-gemms."""
-    return os.environ.get("STROKE_TPU_DW", "taps")
+    the per-tap accumulated sub-gemms.  Same-session bench A/B (r5):
+    unet 170.2 -> 173.3 vol/s, cae 46.4 -> 46.8 — wide is the default."""
+    return os.environ.get("STROKE_TPU_DW", "wide")
 
 
 def _dw_taps(x_refs, grows, dw_ref, s, *, nz: int, hco: int, wcx: int,

@@ -141,8 +141,11 @@ class CaeReconstructionLearner(Learner):
             # checkpoint would silently reload as plain Enc3D)
             init_dto = dto_like.replace(
                 given_variables=gv.replace(time_to_treatment=None))
-        variables = self._model.init(self._next_key(), init_dto,
-                                     BRANCH_GTRUTH, False)
+        # jitted init: unjitted flax init is one RPC per op on the
+        # tunneled TPU (~minutes for the CAE stack)
+        variables = jax.jit(
+            lambda k, d: self._model.init(k, d, BRANCH_GTRUTH, False))(
+                self._next_key(), init_dto)
         params = variables["params"]
         tx = self._resolve_tx(params)
         self._state = TrainState(
@@ -414,8 +417,9 @@ class CaePredictionLearner(CaeReconstructionLearner):
         dev0 = {k: (jnp.asarray(v) if v is not None else None)
                 for k, v in b0.items() if k != "case_id"}
         dto0 = self._make_dto(dev0)
-        enc_vars = self._enc_model.init(self._next_key(), dto0,
-                                        BRANCH_INPUTS, False)
+        enc_vars = jax.jit(
+            lambda k, d: self._enc_model.init(k, d, BRANCH_INPUTS, False))(
+                self._next_key(), dto0)
         params = enc_vars["params"]
         tx = self._resolve_tx(params)
         self._state = TrainState(

@@ -428,17 +428,25 @@ class Learner:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    # Epoch-block length for the device-resident plan.  The jitted
+    # epoch fn indexes (PLAN_BLOCK, n_chunks, size) row arrays, so its
+    # HLO — and therefore its persistent-compile-cache key — depends
+    # only on the loader's chunk structure, NOT on the run's epoch
+    # count: a 4-epoch bench run, a 2-epoch reduced leg and a 300-epoch
+    # CLI run all share one compiled executable.
+    PLAN_BLOCK = 8
+
     def _make_plan(self, loader, epoch0: int) -> dict:
         """The whole run's device inputs for one loader, built ONCE at
         first use: every remaining epoch's row permutation (consuming
         the loader RNG strictly in epoch order — identical visiting
         order to the per-epoch host ``__iter__`` path) stacked into
-        per-group ``(n_epochs, n_chunks, size)`` device arrays, plus the
-        per-epoch curriculum factors.  Epochs then index these arrays
-        in-graph: the timed train window holds no host->device staging
-        at all (round-4 measured ~4 tunnel round trips/epoch of fixed
-        cost from per-epoch rows/factor pushes and per-group
-        dispatches)."""
+        per-group ``(PLAN_BLOCK, n_chunks, size)`` device arrays per
+        epoch block, plus the per-epoch curriculum factors.  Epochs then
+        index these arrays in-graph: the timed train window holds no
+        host->device staging at all (round-4 measured ~4 tunnel round
+        trips/epoch of fixed cost from per-epoch rows/factor pushes and
+        per-group dispatches)."""
         _, rowmap = self._device_data(loader)
         n_epochs = self._n_epochs - epoch0
         per_epoch = [loader.epoch_chunks() for _ in range(n_epochs)]
@@ -462,18 +470,34 @@ class Learner:
                 return jax.device_put(a, NamedSharding(self._mesh, P()))
         else:
             put = jax.device_put
-        rows = tuple(
-            put(jnp.asarray(
-                [[[rowmap[x] for x in c] for c in ch[i:j]]
-                 for ch in per_epoch], jnp.int32))
-            for i, j, _size in bounds)
-        factors = put(jnp.asarray(
-            [self.loss_factor(epoch0 + e) for e in range(n_epochs)],
-            jnp.float32))
+        K = self.PLAN_BLOCK
+        # pad the final block to K by repeating the last epoch (those
+        # slots are never indexed)
+        pad = (-n_epochs) % K
+        per_epoch += [per_epoch[-1]] * pad
+        factors_np = [self.loss_factor(epoch0 + e) for e in range(n_epochs)]
+        factors_np += [factors_np[-1]] * pad
+        rows_blocks, factors_blocks = [], []
+        for b0 in range(0, len(per_epoch), K):
+            blk = per_epoch[b0:b0 + K]
+            rows_blocks.append(tuple(
+                put(jnp.asarray(
+                    [[[rowmap[x] for x in c] for c in ch[i:j]]
+                     for ch in blk], jnp.int32))
+                for i, j, _size in bounds))
+            factors_blocks.append(put(jnp.asarray(
+                factors_np[b0:b0 + K], jnp.float32)))
+        # per-block-slot device index scalars, staged once: passing a
+        # python int to the jitted epoch fn would device_put a fresh
+        # scalar inside every timed train window (a blocking transfer
+        # on the tunneled TPU)
+        eidx = [put(jnp.asarray(e, jnp.int32)) for e in range(K)]
         step0 = np.cumsum([0] + [j - i for i, j, _ in bounds])
-        return {"epoch0": epoch0, "n_epochs": n_epochs, "rows": rows,
-                "factors": factors, "bounds": bounds,
-                "group_step0": step0, "n_steps": int(step0[-1]),
+        return {"epoch0": epoch0, "n_epochs": n_epochs,
+                "rows_blocks": rows_blocks,
+                "factors_blocks": factors_blocks, "eidx": eidx,
+                "bounds": bounds, "group_step0": step0,
+                "n_steps": int(step0[-1]),
                 "n_vol": sum((j - i) * s for i, j, s in bounds),
                 "fns": {}}
 
@@ -515,17 +539,29 @@ class Learner:
             e = epoch - plan["epoch0"]
             assert 0 <= e < plan["n_epochs"], "epoch outside the plan"
             fn, layout = plan["fns"][training]
+            import time as _time
+            probe = os.environ.get("STROKE_TPU_TIME_EPOCH") == "1"
+            blk, slot = divmod(e, self.PLAN_BLOCK)
+            rows = plan["rows_blocks"][blk]
+            factors = plan["factors_blocks"][blk]
+            t0 = _time.perf_counter()
             with annotate(phase):
                 if training:
                     self._state, self._key, flat = fn(
-                        self._state, data, plan["rows"], plan["factors"],
-                        e, self._key)
+                        self._state, data, rows, factors,
+                        plan["eidx"][slot], self._key)
                 else:
                     self._key, flat = fn(
-                        self._state, data, plan["rows"], plan["factors"],
-                        e, self._key)
+                        self._state, data, rows, factors,
+                        plan["eidx"][slot], self._key)
+            t1 = _time.perf_counter()
             n_vol = plan["n_vol"]
             flat = np.asarray(jax.device_get(flat))
+            if probe:
+                t2 = _time.perf_counter()
+                print(f"[epoch-probe] {'train' if training else 'eval'} "
+                      f"dispatch {1e3 * (t1 - t0):.1f}ms "
+                      f"fetch {1e3 * (t2 - t1):.1f}ms", flush=True)
             host_list = [{} for _ in range(plan["n_steps"])]
             off = 0
             for g, name, shape in layout:

@@ -92,8 +92,11 @@ class UnetSegmentationLearner(Learner):
             init_shape = (2, pd, ph, pw, c)
         else:
             init_shape = (2, d, h, w, c)
-        variables = self._model.init(self._next_key(),
-                                     jnp.zeros(init_shape), train=False)
+        # jitted init: unjitted flax init executes op-by-op, which on
+        # the tunneled TPU is one RPC per op (~minutes for this net)
+        variables = jax.jit(
+            lambda k, z: self._model.init(k, z, train=False))(
+                self._next_key(), jnp.zeros(init_shape))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         tx = self._resolve_tx(params)

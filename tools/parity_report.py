@@ -245,16 +245,24 @@ def main():
     # seed-noise band two-sided AT THE REFERENCE-LENGTH budget, where
     # the 35-epoch band above no longer applies.
     conv_noise = []
-    for spath in sorted(glob.glob(os.path.join(
-            PARITY_DIR, "*_e*_jax_seed*.json"))):
-        m = re.match(r"(\w+?)_fold(\d+)_e(\d+)_jax_seed(\d+)\.json",
-                     os.path.basename(spath))
-        if not m:
-            continue
+    conv_pats = [
+        (r"(\w+?)_fold(\d+)_e(\d+)_jax_seed(\d+)\.json", "jax",
+         "{c}_fold{t}_e{n}_jax.json"),
+        (r"(\w+?)_fold(\d+)_e(\d+)_s(\d+)_torch\.json", "torch",
+         "{c}_fold{t}_e{n}_torch.json"),
+    ]
+    conv_candidates = [
+        (spath, m, side, base_fmt)
+        for pat, side, base_fmt in conv_pats
+        for spath in sorted(glob.glob(os.path.join(PARITY_DIR,
+                                                   "*_e*.json")))
+        if (m := re.match(pat, os.path.basename(spath)))
+    ]
+    for spath, m, side, base_fmt in conv_candidates:
         config, tag, nominal, seed = (m.group(1), m.group(2),
                                       int(m.group(3)), m.group(4))
         base = os.path.join(
-            PARITY_DIR, f"{config}_fold{tag}_e{nominal}_jax.json")
+            PARITY_DIR, base_fmt.format(c=config, t=tag, n=nominal))
         if not os.path.exists(base):
             continue
         with open(base) as f:
@@ -273,21 +281,99 @@ def main():
         for k in keys:
             b0, b1 = best(c0, k), best(c1, k)
             if b0 is not None and b1 is not None:
-                conv_noise.append((config, tag, budget, seed, k, b0, b1,
-                                   b1 - b0))
+                conv_noise.append((side, config, tag, budget, seed, k,
+                                   b0, b1, b1 - b0))
     if conv_noise:
         lines += [
             "",
-            "### Seed noise at the reference-length budget (JAX, "
-            "same fold, different seed)",
+            "### Seed noise at the reference-length budget "
+            "(same framework, same fold, different seed)",
             "",
-            "| config | fold set | epochs | seed vs 4 | structure | "
-            "seed-4 | other | spread |",
+            "| framework | config | fold set | epochs | seed vs 4 | "
+            "structure | seed-4 | other | spread |",
+            "|---|---|---|---|---|---|---|---|---|",
+        ]
+        for side, config, tag, budget, seed, k, b0, b1, d in conv_noise:
+            lines.append(f"| {side} | {config} | {tag}.. | {budget} "
+                         f"| {seed} | {k[:-3]} | {b0:.4f} | {b1:.4f} "
+                         f"| {d:+.4f} |")
+
+    # Seed-mean statistic at the matched converged budget (round-4
+    # verdict Missing #2 / Next #3): on this 29-case dataset the CAE's
+    # converged single-seed outcome has a ~±0.4 run-to-run band on
+    # lesion/core in BOTH frameworks, so a single-seed best-valid Dice
+    # cannot demonstrate ±0.005 on those structures at all.  The CAE
+    # parity statistic is therefore the SEED-MEAN of best-valid Dice
+    # per structure, all runs truncated to the same matched budget
+    # (min epochs across every seed of both frameworks), with each
+    # framework's own seed band reported alongside (two-sided).
+    # File patterns per (config, fold, nominal):
+    #   torch: <c>_fold<t>_e<N>_torch.json (seed 4),
+    #          <c>_fold<t>_e<N>_s<S>_torch.json
+    #   jax:   <c>_fold<t>_e<N>_jax.json (seed 4),
+    #          <c>_fold<t>_e<N>_jax_seed<S>.json
+    groups = {}
+    for path in sorted(glob.glob(os.path.join(PARITY_DIR, "*_e*.json"))):
+        name = os.path.basename(path)
+        m = (re.match(r"(\w+?)_fold(\d+)_e(\d+)(?:_s(\d+))?_torch\.json",
+                      name))
+        if m:
+            side, seed = "torch", m.group(4) or "4"
+        else:
+            m = re.match(r"(\w+?)_fold(\d+)_e(\d+)_jax(?:_seed(\d+))?"
+                         r"\.json", name)
+            if not m:
+                continue
+            side, seed = "jax", m.group(4) or "4"
+        with open(path) as f:
+            curves = json.load(f)
+        groups.setdefault((m.group(1), m.group(2), int(m.group(3))),
+                          []).append((side, seed, curves))
+    mean_rows = []
+    for (config, tag, nominal), runs in sorted(groups.items()):
+        sides = {s for s, _, _ in runs}
+        if len(sides) < 2 or len(runs) < 3:
+            continue          # seed-mean needs replicates on >=1 side
+        n = min(len(c.get("validate", [])) for _, _, c in runs)
+        if n == 0:
+            continue
+        keys = (["core_dc", "penu_dc"] if config == "unet"
+                else ["lesion_dc", "core_dc", "penu_dc"])
+        for k in keys:
+            vals = {"torch": [], "jax": []}
+            for side, _seed, c in runs:
+                b = best({"validate": c["validate"][:n]}, k)
+                if b is not None:
+                    vals[side].append(b)
+            if not vals["torch"] or not vals["jax"]:
+                continue
+            mt = sum(vals["torch"]) / len(vals["torch"])
+            mj = sum(vals["jax"]) / len(vals["jax"])
+            band = (f"t[{min(vals['torch']):.3f}-{max(vals['torch']):.3f}]"
+                    f"(n={len(vals['torch'])}) "
+                    f"j[{min(vals['jax']):.3f}-{max(vals['jax']):.3f}]"
+                    f"(n={len(vals['jax'])})")
+            mean_rows.append((config, tag, f"{n} of {nominal}", k,
+                              mt, mj, mj - mt, band))
+    if mean_rows:
+        lines += [
+            "",
+            "## Seed-mean parity at the matched converged budget "
+            "(the CAE statistic of record)",
+            "",
+            "Every seed of both frameworks truncated to the same epoch "
+            "budget; statistic = per-structure mean over seeds of "
+            "best-validation Dice, with each framework's own seed band "
+            "(min-max over its seeds) alongside.  Deltas of seed-means "
+            "are comparable even where the single-seed band is ±0.4.",
+            "",
+            "| config | fold set | epochs | structure | torch mean "
+            "| jax mean | delta | seed bands |",
             "|---|---|---|---|---|---|---|---|",
         ]
-        for config, tag, budget, seed, k, b0, b1, d in conv_noise:
-            lines.append(f"| {config} | {tag}.. | {budget} | {seed} "
-                         f"| {k[:-3]} | {b0:.4f} | {b1:.4f} | {d:+.4f} |")
+        for config, tag, budget, k, mt, mj, d, band in mean_rows:
+            lines.append(f"| {config} | {tag}.. | {budget} | {k[:-3]} "
+                         f"| {mt:.4f} | {mj:.4f} | {d:+.4f} | {band} |")
     out = os.path.join(os.path.dirname(PARITY_DIR), "PARITY.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
