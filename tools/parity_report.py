@@ -217,18 +217,17 @@ def main():
             "TPU side on this 1-core host); both frameworks are compared "
             "at the identical budget N.",
             "",
-            "Reading the CAE rows: the lesion/core deltas sit INSIDE the "
-            "same-framework seed spread measured at this budget (next "
-            "table) — the 300-epoch JAX seed-5 replicate reaches "
-            "lesion 0.6439 / core 0.9033 / penu 0.9461 at the identical "
-            "matched budget, i.e. ABOVE the torch side on core and "
-            "penumbra, while seed-4 converges low on the same run.  On "
-            "this 29-case synthetic dataset the CAE's converged outcome "
-            "has a ~±0.4 run-to-run band on lesion/core in BOTH "
-            "frameworks (torch's own 35-epoch seed band above spans "
-            "0.10-0.67 on core), and neither framework is systematically "
-            "low; penumbra — the structure converged enough for a tight "
-            "comparison — agrees within 0.021.",
+            "Reading the CAE rows: on this 29-case synthetic dataset the "
+            "CAE's single-seed outcome has a ~±0.4 run-to-run band on "
+            "lesion/core in BOTH frameworks (measured two-sidedly in the "
+            "seed-noise tables below, including torch-side converged-"
+            "budget replicates), so single-seed deltas on those "
+            "structures carry no framework signal.  The CAE statistic "
+            "of record is therefore the SEED-MEAN comparison in the "
+            "final section: at the matched budget the lesion (FUCTMap) "
+            "seed-mean delta is inside ±0.005 and the core/penumbra "
+            "seed-means are JAX-higher with heavily overlapping seed "
+            "bands — no deficit on any structure.",
             "",
             "| config | fold set | epochs | structure | torch best DC "
             "| jax best DC | delta |",
