@@ -224,10 +224,16 @@ def main():
             "budget replicates), so single-seed deltas on those "
             "structures carry no framework signal.  The CAE statistic "
             "of record is therefore the SEED-MEAN comparison in the "
-            "final section: at the matched budget the lesion (FUCTMap) "
-            "seed-mean delta is inside ±0.005 and the core/penumbra "
-            "seed-means are JAX-higher with heavily overlapping seed "
-            "bands — no deficit on any structure.",
+            "final section.  Its deltas are an order of magnitude "
+            "smaller than the single-seed band, sit well inside each "
+            "framework's own seed band, and FLIP SIGN as the matched "
+            "budget advances (lesion +0.001 at budget 68 -> -0.032 at "
+            "budget 90; core +0.098 -> -0.059) — i.e. neither framework "
+            "is systematically ahead; the residual is the convergence "
+            "noise of 2-3 seeds mid-schedule (the lr steps at epochs "
+            "200/250 are still ahead at these budgets).  Penumbra, the "
+            "structure converged enough for a tight comparison, agrees "
+            "to 0.005-0.027 at every budget examined.",
             "",
             "| config | fold set | epochs | structure | torch best DC "
             "| jax best DC | delta |",
